@@ -1,0 +1,105 @@
+"""Configuration for the TPU-native GroundGrid engine.
+
+Mirrors the reference's dynamic_reconfigure parameter set
+(``cfg/GroundGrid.cfg:8-21``) plus the grid geometry constants
+(``include/groundgrid/GroundGrid.h:70-71``) and the algorithm constants
+(``include/groundgrid/GroundSegmentation.h:68-70``), re-packaged as a frozen,
+hashable dataclass so it can be closed over by ``jax.jit``-compiled pipelines.
+
+Unlike the reference (hot-reload via a ROS dynamic_reconfigure server,
+``GroundGridNodelet.cpp:299-302``), a config change here simply builds a new
+jitted pipeline; XLA caches compilations per unique config, so flipping back
+and forth between configs is cheap after first compile.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+
+@dataclasses.dataclass(frozen=True)
+class GroundGridConfig:
+    """Runtime-tunable parameters. Names & defaults match ``cfg/GroundGrid.cfg``.
+
+    The reference typo ``miminum_point_height_threshold`` is preserved on
+    purpose (``cfg/GroundGrid.cfg:13``) so configs written against the
+    reference map over 1:1.
+    """
+
+    # --- segmentation parameters (cfg/GroundGrid.cfg:8-21) ---
+    point_count_cell_variance_threshold: int = 10
+    max_ring: int = 1024
+    # NOTE: unused by the reference algorithm as well (verified by grep); kept
+    # for config-surface parity.
+    groundpatch_detection_minimum_threshold: float = 0.01
+    distance_factor: float = 0.0001
+    minimum_distance_factor: float = 0.0005
+    miminum_point_height_threshold: float = 0.3  # sic, reference typo
+    minimum_point_height_obstacle_threshold: float = 0.1
+    outlier_tolerance: float = 0.1
+    ground_patch_detection_minimum_point_count_threshold: float = 0.25
+    patch_size_change_distance: float = 20.0
+    occupied_cells_decrease_factor: float = 5.0
+    occupied_cells_point_count_factor: float = 20.0
+    min_outlier_detection_ground_confidence: float = 1.25
+    # No-op on TPU (kept for API parity with cfg/GroundGrid.cfg:21): point
+    # parallelism is implicit in the vectorized segment ops.
+    thread_count: int = 8
+
+    # --- grid geometry (include/groundgrid/GroundGrid.h:70-71) ---
+    dimension: float = 120.0  # metres (square grid side length)
+    resolution: float = 0.33  # metres per cell
+
+    # --- sensor constants (include/groundgrid/GroundSegmentation.h:68-70) ---
+    # 0.2 degrees in radians: HDL-64E average angular spacing per laser.
+    vertical_point_ang_dist: float = 0.00174532925 * 2
+    min_dist_squared: float = 12.0  # metres^2; closer points are "ignored"
+
+    # --- TPU pipeline shape parameters (no reference equivalent) ---
+    # Fixed-size point buffer; scans are padded/masked to this size so the
+    # jitted pipeline has static shapes. HDL-64E scans are ~130k points.
+    max_points: int = 131072
+    # Static upper bound for the outlier occlusion ray-march
+    # (GroundSegmentation.cpp:258): steps are whole metres along a unit ray
+    # starting at step 3; rays are capped by the grid half-diagonal
+    # (~85m for the default 120m grid), so 96 is conservative.
+    ray_steps: int = 96
+    # Static bound on the number of below-ground candidate points that are
+    # ray-marched per scan. The reference marches every candidate; we compact
+    # the (rare) candidates into a fixed-size buffer. Overflowing candidates
+    # are treated as non-outliers (i.e. kept as regular points).
+    max_outlier_candidates: int = 8192
+    # Reproduce the reference's "drop points within 3 cells of the max-index
+    # border" quirk (GroundSegmentation.cpp:167-168).
+    border_drop: bool = True
+
+    @property
+    def cell_count(self) -> int:
+        """Grid cells per side; grid_map rounds (GridMap::setGeometry)."""
+        return int(round(self.dimension / self.resolution))
+
+    @property
+    def half_length(self) -> float:
+        """Half the *actual* grid side length (= cells * resolution / 2)."""
+        return self.cell_count * self.resolution / 2.0
+
+    @property
+    def center_cell(self) -> int:
+        """Spiral-interpolation center index (GroundSegmentation.cpp:403)."""
+        return self.cell_count // 2 - 1
+
+    def validate(self) -> "GroundGridConfig":
+        if self.cell_count < 8:
+            raise ValueError(f"grid too small: {self.cell_count} cells/side")
+        if self.max_points <= 0:
+            raise ValueError("max_points must be positive")
+        if not math.isfinite(self.resolution) or self.resolution <= 0:
+            raise ValueError("resolution must be positive")
+        return self
+
+
+DEFAULT_CONFIG = GroundGridConfig()
+
+# The 0.1m / 120m stress configuration from BASELINE.json (config 4).
+HIGHRES_CONFIG = GroundGridConfig(resolution=0.1)

@@ -1,0 +1,86 @@
+"""Per-point ground/non-ground classification against the terrain estimate.
+
+TPU-native replacement for the final loop of
+``GroundSegmentation::filter_cloud`` (``GroundSegmentation.cpp:146-189``):
+a distance/variance-adaptive height tolerance per point, one gather + compare
+instead of a 130k-iteration host loop.
+
+Label convention (reference overwrites the PCL ``intensity`` channel,
+``GroundSegmentation.cpp:175,180``): 99 = non-ground, 49 = ground, and 0 for
+points the reference silently drops from its output cloud (out-of-map points
+and the within-3-cells-of-max-border quirk, :167-168, :230-231).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from groundgrid_tpu.config import GroundGridConfig
+from groundgrid_tpu.core.rasterize import Binning
+
+LABEL_GROUND = 49
+LABEL_NONGROUND = 99
+LABEL_DROPPED = 0
+
+
+class ClassifyResult(NamedTuple):
+    labels: jax.Array  # (P,) int32: 49 / 99 / 0
+    nonground_count: jax.Array  # (N, N) f32, reference's reused "points" layer
+
+
+def classify(
+    config: GroundGridConfig,
+    binning: Binning,
+    points,
+    ground,
+    variance,
+    outlier,
+) -> ClassifyResult:
+    """Classify every surviving point.
+
+    tolerance = max(min((5*min_dist_factor*dist)/var * h_thr, h_thr), h_obs)
+    and non-ground iff ground + tolerance < z (GroundSegmentation.cpp:170-173).
+    var == 0 yields tolerance h_thr (inf-clamp) and 0/0 NaN propagates to a
+    "ground" verdict -- both matching C++ float semantics.
+
+    Outliers are force-labeled ground and bypass the border drop, exactly as
+    the re-add loop at :184-189 does.
+    """
+    n = config.cell_count
+    gi = binning.gi
+    g0 = jnp.clip(gi[:, 0], 0, n - 1)
+    g1 = jnp.clip(gi[:, 1], 0, n - 1)
+
+    considered = binning.inmap & ~outlier
+    if config.border_drop:
+        considered &= (gi[:, 0] + 3 < n) & (gi[:, 1] + 3 < n)
+
+    gh = ground[g0, g1]
+    var = variance[g0, g1]
+    dist = jnp.sqrt(binning.sqdist)
+
+    min_dist_fac = jnp.float32(config.minimum_distance_factor * 5)
+    h_thr = jnp.float32(config.miminum_point_height_threshold)
+    h_obs = jnp.float32(config.minimum_point_height_obstacle_threshold)
+
+    tol = jnp.maximum(jnp.minimum((min_dist_fac * dist) / var * h_thr, h_thr), h_obs)
+    nonground = tol + gh < points[:, 2]
+
+    labels = jnp.where(
+        considered,
+        jnp.where(nonground, LABEL_NONGROUND, LABEL_GROUND),
+        LABEL_DROPPED,
+    )
+    labels = jnp.where(outlier, LABEL_GROUND, labels).astype(jnp.int32)
+
+    # non-ground per-cell count (reference reuses the zeroed "points" layer,
+    # GroundSegmentation.cpp:147,176; published in grid images only).
+    inc = (considered & nonground).astype(jnp.float32)
+    cell = jnp.where(considered & nonground, binning.cell, n * n)
+    nonground_count = (
+        jnp.zeros((n * n + 1,), jnp.float32).at[cell].add(inc)[: n * n].reshape(n, n)
+    )
+    return ClassifyResult(labels=labels, nonground_count=nonground_count)

@@ -1,0 +1,108 @@
+"""Rigid-transform utilities.
+
+The reference transforms every LiDAR point cloud->map with a per-point tf2
+loop (``GroundGridNodelet.cpp:170-181``) and individual ``tf2::doTransform``
+calls for origins/poses. Here a pose is a single 4x4 row-major matrix and a
+point batch is transformed with one matmul -- the natural TPU formulation
+(batched MXU-friendly GEMM instead of 130k scalar transforms).
+
+Conventions:
+  * ``T_a_b`` denotes the pose of frame ``b`` expressed in frame ``a``;
+    equivalently the matrix that maps points from ``b`` coordinates to ``a``
+    coordinates: ``p_a = T_a_b @ p_b``.
+  * Points are ``(N, 3)`` arrays; homogeneous lifting happens internally.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def transform_points(T, points):
+    """Apply a 4x4 rigid transform to an (N, 3) point batch.
+
+    One fused matmul + add; replaces the reference's per-point tf2 loop
+    (GroundGridNodelet.cpp:170-181).
+    """
+    R = T[:3, :3]
+    t = T[:3, 3]
+    return points @ R.T + t
+
+
+def invert_rigid(T):
+    """Invert a rigid 4x4 transform: [R|t]^-1 = [R^T | -R^T t]."""
+    xp = jnp if isinstance(T, jnp.ndarray) else np
+    R = T[:3, :3]
+    t = T[:3, 3]
+    Rt = R.T
+    out = xp.eye(4, dtype=T.dtype)
+    if xp is jnp:
+        out = out.at[:3, :3].set(Rt)
+        out = out.at[:3, 3].set(-Rt @ t)
+    else:
+        out = np.eye(4, dtype=T.dtype)
+        out[:3, :3] = Rt
+        out[:3, 3] = -Rt @ t
+    return out
+
+
+def translation(x: float, y: float, z: float, dtype=np.float64) -> np.ndarray:
+    """Pure-translation 4x4 (host-side helper for static extrinsics)."""
+    T = np.eye(4, dtype=dtype)
+    T[:3, 3] = (x, y, z)
+    return T
+
+
+# Static extrinsic chain from the reference launch files
+# (launch/KITTIPlayback.launch:13-17):
+#   kitti_base_link -> base_link : translation (1.95, 0, -1.73)
+#   kitti_base_link -> velodyne  : identity
+# i.e. base_link sits at ground level 1.95m ahead of the sensor.
+T_KITTIBASE_BASE = translation(1.95, 0.0, -1.73)
+
+# KITTI odometry camera->velodyne calibration Tr for sequences 00-10, hardcoded
+# in the reference player (scripts/kitti_data_publisher.py:168).
+KITTI_TR = np.array(
+    [
+        [4.276802385584e-04, -9.999672484946e-01, -8.084491683471e-03, -1.198459927713e-02],
+        [-7.210626507497e-03, 8.081198471645e-03, -9.999413164504e-01, -5.403984729748e-02],
+        [9.999738645903e-01, 4.859485810390e-04, -7.206933692422e-03, -2.921968648686e-01],
+        [0.0, 0.0, 0.0, 1.0],
+    ],
+    dtype=np.float64,
+)
+
+
+def kitti_pose_to_map(pose_3x4: np.ndarray) -> np.ndarray:
+    """Conjugate a KITTI camera-frame pose into the velodyne/map frame.
+
+    ``pose' = Tr^-1 @ P @ Tr`` exactly as the reference player does
+    (scripts/kitti_data_publisher.py:164-180). The result is the pose of
+    ``kitti_base_link`` (== velodyne) in the map frame.
+    """
+    P = np.vstack([np.asarray(pose_3x4, dtype=np.float64).reshape(3, 4), [0, 0, 0, 1]])
+    return np.linalg.inv(KITTI_TR) @ P @ KITTI_TR
+
+
+def scan_poses(T_map_velo: np.ndarray):
+    """Derive the per-scan pose set consumed by the pipeline.
+
+    Given the velodyne pose in map (from :func:`kitti_pose_to_map`), returns
+    ``(T_map_velo, T_map_base, T_base_map)`` as float32 arrays:
+
+      * ``T_map_velo``  -- cloud->map transform + sensor origin (its
+        translation column), cf. GroundGridNodelet.cpp:139-146.
+      * ``T_map_base``  -- base_link pose in map; its z is the spiral seed
+        height (GroundSegmentation.cpp:406-411).
+      * ``T_base_map``  -- map->base_link, used to re-initialize freshly
+        exposed grid cells to the base plane height (GroundGrid.cpp:121-133).
+    """
+    T_map_velo = np.asarray(T_map_velo, dtype=np.float64)
+    T_map_base = T_map_velo @ T_KITTIBASE_BASE
+    T_base_map = invert_rigid(T_map_base)
+    return (
+        T_map_velo.astype(np.float32),
+        T_map_base.astype(np.float32),
+        T_base_map.astype(np.float32),
+    )

@@ -1,0 +1,210 @@
+"""The per-scan segmentation pipeline: one jitted function.
+
+Replaces the reference's hot path -- ``GroundGridNodelet::points_callback``
+-> ``GroundSegmentation::filter_cloud`` (``GroundGridNodelet.cpp:114-232``,
+``GroundSegmentation.cpp:50-197``) plus the odometry-driven grid relocation
+(``GroundGrid.cpp:83-147``) -- with a single XLA program:
+
+    state, out = step(state, scan)
+
+Stage order matches the reference exactly:
+  transform -> grid move -> bin -> outlier ray-march (vs previous terrain)
+  -> rasterize -> patch detection -> spiral interpolation -> classify.
+
+All shapes are static (points padded/masked to ``config.max_points``); config
+is closed over, so each :class:`GroundGridConfig` yields one compiled
+executable, cached by XLA.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from groundgrid_tpu.config import GroundGridConfig
+from groundgrid_tpu.core import classify as classifylib
+from groundgrid_tpu.core import detect as detectlib
+from groundgrid_tpu.core import grid as gridlib
+from groundgrid_tpu.core import interpolate as interplib
+from groundgrid_tpu.core import outliers as outlierlib
+from groundgrid_tpu.core import rasterize as rasterlib
+from groundgrid_tpu.core import transforms as tf
+from groundgrid_tpu.core.grid import GridState
+
+
+class Scan(NamedTuple):
+    """One LiDAR scan + ego pose, padded to static shapes.
+
+    points: (P, 3) f32 sensor-frame xyz; padding rows arbitrary.
+    rings:  (P,) i32 ring channel; the SemanticKITTI harness packs the
+            semantic label here (scripts/kitti_data_publisher.py:123-145),
+            and it rides through the pipeline untouched for evaluation.
+    valid:  (P,) bool padding mask.
+    t_map_velo: (4, 4) f32 sensor->map pose (cloud transform + origin).
+    t_map_base: (4, 4) f32 base_link->map pose (spiral seed height).
+    t_base_map: (4, 4) f32 map->base_link (exposed-cell ground init).
+    """
+
+    points: jax.Array
+    rings: jax.Array
+    valid: jax.Array
+    t_map_velo: jax.Array
+    t_map_base: jax.Array
+    t_base_map: jax.Array
+
+
+class StepOutput(NamedTuple):
+    """Per-scan results. ``labels``: 49 ground / 99 non-ground / 0 dropped."""
+
+    labels: jax.Array  # (P,) int32
+    outlier: jax.Array  # (P,) bool (occlusion outliers, force-ground)
+    points_map: jax.Array  # (P, 3) f32 map-frame points (for consumers/viz)
+
+
+class AuxLayers(NamedTuple):
+    """All published grid layers (reference layer set, SURVEY.md 2.3)."""
+
+    points: jax.Array  # non-ground count after classification
+    points_raw: jax.Array
+    ground: jax.Array
+    groundpatch: jax.Array
+    ground_candidates: jax.Array
+    plane_dist: jax.Array
+    mean_variance: jax.Array
+    m2: jax.Array
+    min_ground_height: jax.Array
+    max_ground_height: jax.Array
+    variance: jax.Array
+
+
+def _validate(config: GroundGridConfig) -> None:
+    config.validate()
+    # ray bound must cover the grid half-diagonal (see core/outliers.py)
+    need = int(math.ceil(config.half_length * math.sqrt(2.0))) + 8
+    if config.ray_steps < need:
+        raise ValueError(
+            f"config.ray_steps={config.ray_steps} too small for a "
+            f"{config.dimension}m grid; need >= {need}"
+        )
+
+
+def make_step(config: GroundGridConfig, with_aux: bool = False):
+    """Build the jitted per-scan step for ``config``.
+
+    Returns ``step(state, scan) -> (state', StepOutput[, AuxLayers])``.
+    The grid state buffers are donated, so steady-state streaming does not
+    reallocate the (N, N) layers.
+    """
+    _validate(config)
+    tables = detectlib.make_tables(config)
+
+    def step_impl(state: GridState, scan: Scan):
+        # --- transform to map frame (GroundGridNodelet.cpp:139-184) ---
+        points_map = tf.transform_points(scan.t_map_velo, scan.points)
+        origin = scan.t_map_velo[:3, 3]
+
+        # --- grid relocation (GroundGrid.cpp:83-147) ---
+        state = gridlib.move(config, state, origin[:2], scan.t_base_map)
+
+        # --- binning ---
+        binning = rasterlib.bin_points(
+            config, state.center, points_map, scan.rings, scan.valid, origin
+        )
+
+        # --- outlier ray-march against previous terrain (cpp:242-275) ---
+        outlier = outlierlib.detect_outliers(
+            config, state.center, state.ground, state.groundpatch,
+            binning, points_map, origin,
+        )
+
+        # --- rasterize (cpp:200-311) ---
+        accept = binning.inmap & ~binning.ignored & ~outlier
+        raster = rasterlib.rasterize(config, binning, points_map, origin, accept)
+
+        # --- ground patch detection (cpp:314-395) ---
+        ground, groundpatch = detectlib.detect_ground_patches(
+            config, tables, raster.points, raster.variance,
+            raster.min_ground_height, state.ground, state.groundpatch,
+        )
+
+        # --- spiral interpolation (cpp:398-465) ---
+        ground, groundpatch = interplib.spiral_interpolation(
+            config, ground, groundpatch, scan.t_map_base[2, 3]
+        )
+
+        # --- classification (cpp:146-189) ---
+        result = classifylib.classify(
+            config, binning, points_map, ground, raster.variance, outlier
+        )
+
+        new_state = GridState(ground=ground, groundpatch=groundpatch, center=state.center)
+        out = StepOutput(labels=result.labels, outlier=outlier, points_map=points_map)
+        if not with_aux:
+            return new_state, out
+        aux = AuxLayers(
+            points=result.nonground_count,
+            points_raw=raster.points_raw,
+            ground=ground,
+            groundpatch=groundpatch,
+            ground_candidates=raster.ground_candidates,
+            plane_dist=raster.plane_dist,
+            mean_variance=raster.mean_variance,
+            m2=raster.m2,
+            min_ground_height=raster.min_ground_height,
+            max_ground_height=raster.max_ground_height,
+            variance=raster.variance,
+        )
+        return new_state, out, aux
+
+    return jax.jit(step_impl, donate_argnums=(0,))
+
+
+def init_state(config: GroundGridConfig, t_map_velo) -> GridState:
+    """First-odometry grid creation (GroundGrid::initGroundGrid).
+
+    ground := odom z, groundpatch := 1e-7, centered on the sensor xy
+    (GroundGrid.cpp:50-80).
+    """
+    t = jnp.asarray(t_map_velo, jnp.float32)
+    return gridlib.create(config, t[:2, 3], t[2, 3])
+
+
+def pad_scan(
+    config: GroundGridConfig,
+    points,
+    rings,
+    t_map_velo,
+    t_map_base=None,
+    t_base_map=None,
+) -> Scan:
+    """Host-side helper: pad a raw scan to the static pipeline shapes."""
+    import numpy as np
+
+    p = np.asarray(points, dtype=np.float32)
+    r = np.asarray(rings, dtype=np.int32)
+    count = p.shape[0]
+    cap = config.max_points
+    if count > cap:
+        p, r, count = p[:cap], r[:cap], cap
+    pts = np.zeros((cap, 3), dtype=np.float32)
+    rng = np.zeros((cap,), dtype=np.int32)
+    msk = np.zeros((cap,), dtype=bool)
+    pts[:count] = p[:, :3]
+    rng[:count] = r
+    msk[:count] = True
+
+    t_map_velo = np.asarray(t_map_velo, dtype=np.float64)
+    if t_map_base is None or t_base_map is None:
+        _, t_map_base, t_base_map = tf.scan_poses(t_map_velo)
+    return Scan(
+        points=jnp.asarray(pts),
+        rings=jnp.asarray(rng),
+        valid=jnp.asarray(msk),
+        t_map_velo=jnp.asarray(t_map_velo.astype(np.float32)),
+        t_map_base=jnp.asarray(np.asarray(t_map_base, np.float32)),
+        t_base_map=jnp.asarray(np.asarray(t_base_map, np.float32)),
+    )
