@@ -73,6 +73,10 @@ class GroundGridConfig:
     # Reproduce the reference's "drop points within 3 cells of the max-index
     # border" quirk (GroundSegmentation.cpp:167-168).
     border_drop: bool = True
+    # Pallas TPU kernels: None = auto (on when running on TPU), or force
+    # True/False. The Pallas and XLA paths are numerically equivalent
+    # (tests/test_pallas_spiral.py); Pallas is ~25x faster on a v5e.
+    use_pallas: bool | None = None
 
     @property
     def cell_count(self) -> int:

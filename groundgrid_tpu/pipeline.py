@@ -92,15 +92,20 @@ def _validate(config: GroundGridConfig) -> None:
         )
 
 
-def make_step(config: GroundGridConfig, with_aux: bool = False):
-    """Build the jitted per-scan step for ``config``.
-
-    Returns ``step(state, scan) -> (state', StepOutput[, AuxLayers])``.
-    The grid state buffers are donated, so steady-state streaming does not
-    reallocate the (N, N) layers.
-    """
+def make_step_fn(config: GroundGridConfig, with_aux: bool = False):
+    """Build the *unjitted* per-scan step (for vmap/shard_map composition)."""
     _validate(config)
     tables = detectlib.make_tables(config)
+
+    use_pallas = config.use_pallas
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from groundgrid_tpu.ops.pallas_spiral import spiral_interpolation_pallas
+
+        spiral = functools.partial(spiral_interpolation_pallas, config)
+    else:
+        spiral = functools.partial(interplib.spiral_interpolation, config)
 
     def step_impl(state: GridState, scan: Scan):
         # --- transform to map frame (GroundGridNodelet.cpp:139-184) ---
@@ -132,9 +137,7 @@ def make_step(config: GroundGridConfig, with_aux: bool = False):
         )
 
         # --- spiral interpolation (cpp:398-465) ---
-        ground, groundpatch = interplib.spiral_interpolation(
-            config, ground, groundpatch, scan.t_map_base[2, 3]
-        )
+        ground, groundpatch = spiral(ground, groundpatch, scan.t_map_base[2, 3])
 
         # --- classification (cpp:146-189) ---
         result = classifylib.classify(
@@ -160,7 +163,17 @@ def make_step(config: GroundGridConfig, with_aux: bool = False):
         )
         return new_state, out, aux
 
-    return jax.jit(step_impl, donate_argnums=(0,))
+    return step_impl
+
+
+def make_step(config: GroundGridConfig, with_aux: bool = False):
+    """Build the jitted per-scan step for ``config``.
+
+    Returns ``step(state, scan) -> (state', StepOutput[, AuxLayers])``.
+    The grid state buffers are donated, so steady-state streaming does not
+    reallocate the (N, N) layers.
+    """
+    return jax.jit(make_step_fn(config, with_aux), donate_argnums=(0,))
 
 
 def init_state(config: GroundGridConfig, t_map_velo) -> GridState:

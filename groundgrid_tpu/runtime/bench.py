@@ -1,0 +1,128 @@
+"""Throughput benchmark harness.
+
+Measures steady-state scans/sec of the full per-scan pipeline on synthetic
+HDL-64E-sized scans (~131k points). The north-star target (BASELINE.json) is
+>= 1000 SemanticKITTI scans/sec/chip on TPU v5e; the reference publishes no
+throughput numbers at all (accuracy only, SURVEY.md section 6), so
+``vs_baseline`` is reported against that 1000 scans/s target.
+
+Two modes:
+  * streaming (batch=1): one ego vehicle, state-dependent sequential steps --
+    the honest latency-bound number.
+  * fleet (batch=B): B independent vehicles vmapped (and sharded over chips
+    when more than one is visible), amortizing per-step overheads -- the
+    throughput-bound number (BASELINE.json config 5).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+def _log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _make_scans(config, n_distinct: int, n_beams=64, n_azimuth=2048, seed=0):
+    """Pre-render a few distinct synthetic scans + consecutive poses."""
+    from groundgrid_tpu.data.synthetic import make_scene, render_scan, vehicle_pose
+    from groundgrid_tpu.pipeline import pad_scan
+
+    scene = make_scene(seed, extent=min(200.0, 2 * config.dimension))
+    scans = []
+    poses = []
+    for k in range(n_distinct):
+        T = vehicle_pose(scene, k, step_m=1.2)
+        pts, lbl = render_scan(scene, T, n_beams=n_beams, n_azimuth=n_azimuth, seed=seed + k)
+        scans.append(pad_scan(config, pts, lbl, T))
+        poses.append(T)
+    return scans, poses
+
+
+def run_benchmark(
+    n_scans: int = 64,
+    batch: int = 1,
+    resolution: float = 0.33,
+    dimension: float = 120.0,
+    warmup: int = 3,
+    n_beams: int = 64,
+    n_azimuth: int = 2048,
+) -> dict:
+    import jax
+
+    from groundgrid_tpu.config import GroundGridConfig
+    from groundgrid_tpu.pipeline import init_state, make_step
+
+    config = GroundGridConfig(resolution=resolution, dimension=dimension)
+    platform = jax.devices()[0].platform
+    _log(f"bench: platform={platform} grid={config.cell_count}^2 batch={batch}")
+
+    n_distinct = min(8, max(4, n_scans))
+    scans, poses = _make_scans(config, n_distinct, n_beams, n_azimuth)
+    n_points = int(np.asarray(scans[0].valid).sum())
+    _log(f"bench: {n_points} valid points/scan, {n_distinct} distinct scans")
+
+    if batch == 1:
+        step = make_step(config)
+        state = init_state(config, poses[0].astype(np.float32))
+        scans = [jax.device_put(s) for s in scans]
+        for i in range(warmup):
+            state, out = step(state, scans[i % n_distinct])
+        jax.block_until_ready(out.labels)
+        t0 = time.perf_counter()
+        for i in range(n_scans):
+            state, out = step(state, scans[i % n_distinct])
+        jax.block_until_ready(out.labels)
+        elapsed = time.perf_counter() - t0
+        per_chip = n_scans / elapsed
+        total = per_chip
+        n_chips = 1
+    else:
+        from groundgrid_tpu.parallel.sharding import (
+            make_fleet_step, make_mesh, shard_fleet_pytree,
+        )
+
+        n_chips = len(jax.devices())
+        b = max(batch, n_chips)
+        b -= b % n_chips
+        mesh = make_mesh()
+        fleet = make_fleet_step(config, mesh)
+        states = jax.vmap(lambda t: init_state(config, t))(
+            np.stack([poses[0].astype(np.float32)] * b)
+        )
+        batched = jax.tree.map(
+            lambda *xs: np.stack(xs), *(scans[i % n_distinct] for i in range(b))
+        )
+        states = shard_fleet_pytree(states, mesh)
+        batched = shard_fleet_pytree(batched, mesh)
+        for _ in range(warmup):
+            states, outs, summary = fleet(states, batched)
+        jax.block_until_ready(summary)
+        steps = max(1, n_scans // b)
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            states, outs, summary = fleet(states, batched)
+        jax.block_until_ready(summary)
+        elapsed = time.perf_counter() - t0
+        total = steps * b / elapsed
+        per_chip = total / n_chips
+
+    _log(f"bench: {per_chip:.1f} scans/s/chip ({total:.1f} total, {n_chips} chips)")
+    return {
+        "metric": "synthetic_hdl64_scans_per_sec_per_chip",
+        "value": round(per_chip, 2),
+        "unit": "scans/s/chip",
+        "vs_baseline": round(per_chip / 1000.0, 4),
+        "extra": {
+            "platform": platform,
+            "batch": batch,
+            "n_chips": n_chips,
+            "grid_cells": config.cell_count,
+            "points_per_scan": n_points,
+            "total_scans_per_sec": round(total, 2),
+            "ms_per_scan": round(1000.0 / per_chip, 3) if per_chip else None,
+        },
+    }

@@ -1,0 +1,132 @@
+"""Command-line interface: playback / evaluate / bench.
+
+Replaces the reference's roslaunch entry points (``launch/*.launch``):
+  * ``evaluate``  == KITTIEvaluate.launch: lock-step playback + scorer with
+    the every-500-clouds statistics print (eval_groundpoint_classifier.py:123)
+  * ``playback``  == KITTIPlayback.launch: stream a sequence, log timing,
+    optionally dump layer images (the RViz/image-topic substitute)
+  * ``bench``     == throughput benchmark on synthetic data (one JSON line)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--dimension", type=float, default=120.0)
+    p.add_argument("--resolution", type=float, default=0.33)
+    p.add_argument("--max-points", type=int, default=131072)
+    p.add_argument("--start", type=float, default=0.0, help="start seconds (player start)")
+    p.add_argument("--end", type=float, default=float("inf"), help="end seconds (player end)")
+
+
+def _config(args):
+    from groundgrid_tpu.config import GroundGridConfig
+
+    return GroundGridConfig(
+        dimension=args.dimension,
+        resolution=args.resolution,
+        max_points=args.max_points,
+    )
+
+
+def cmd_evaluate(args) -> int:
+    from groundgrid_tpu.data.semantickitti import SemanticKITTI
+    from groundgrid_tpu.eval.metrics import Evaluator
+    from groundgrid_tpu.runtime.driver import StreamingDriver
+
+    ds = SemanticKITTI(args.directory, args.sequence)
+    driver = StreamingDriver(_config(args))
+    ev = Evaluator(ds.sequence)
+    for rec in ds.iter_scans(args.start, args.end):
+        res = driver.process(rec)
+        ev.add_cloud(res.labels, rec.labels)
+        if ev.clouds % 500 == 0:  # reference cadence (:123-124)
+            print(ev.format_statistics(), flush=True)
+    print(ev.format_statistics(), flush=True)
+    m = ev.compute()
+    print(
+        json.dumps(
+            dict(
+                sequence=ds.sequence,
+                scans=ev.clouds,
+                avg_ms=driver.stats.avg_ms,
+                scans_per_sec=driver.stats.scans_per_sec,
+                **m.as_dict(),
+            )
+        ),
+        flush=True,
+    )
+    return 0
+
+
+def cmd_playback(args) -> int:
+    from groundgrid_tpu.data.semantickitti import SemanticKITTI
+    from groundgrid_tpu.runtime.driver import StreamingDriver
+
+    ds = SemanticKITTI(args.directory, args.sequence)
+    driver = StreamingDriver(_config(args), with_aux=bool(args.export_layers))
+    for res in driver.run(ds.iter_scans(args.start, args.end)):
+        print(
+            f"scan {res.index}: {res.n_points} pts "
+            f"ground={int((res.labels == 49).sum())} "
+            f"nonground={int((res.labels == 99).sum())} "
+            f"{res.wall_ms:.1f} ms (avg {driver.stats.avg_ms:.1f} ms, "
+            f"{driver.stats.scans_per_sec:.1f} scans/s)",
+            flush=True,
+        )
+        if args.export_layers and res.index % args.export_every == 0:
+            from groundgrid_tpu.runtime.viz import export_layers
+
+            export_layers(res.aux, args.export_layers, prefix=f"{res.index:06d}_")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    from groundgrid_tpu.runtime.bench import run_benchmark
+
+    result = run_benchmark(
+        n_scans=args.scans,
+        batch=args.batch,
+        resolution=args.resolution,
+        dimension=args.dimension,
+    )
+    print(json.dumps(result), flush=True)
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="groundgrid-tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_eval = sub.add_parser("evaluate", help="lock-step sequence evaluation")
+    p_eval.add_argument("--directory", required=True, help="SemanticKITTI root")
+    p_eval.add_argument("--sequence", default="00")
+    _add_common(p_eval)
+    p_eval.set_defaults(func=cmd_evaluate)
+
+    p_play = sub.add_parser("playback", help="stream a sequence, log timing")
+    p_play.add_argument("--directory", required=True)
+    p_play.add_argument("--sequence", default="00")
+    p_play.add_argument("--export-layers", default="", help="dir for layer PNGs")
+    p_play.add_argument("--export-every", type=int, default=100)
+    _add_common(p_play)
+    p_play.set_defaults(func=cmd_playback)
+
+    p_bench = sub.add_parser("bench", help="synthetic throughput benchmark")
+    p_bench.add_argument("--scans", type=int, default=64)
+    p_bench.add_argument("--batch", type=int, default=1)
+    p_bench.add_argument("--dimension", type=float, default=120.0)
+    p_bench.add_argument("--resolution", type=float, default=0.33)
+    p_bench.set_defaults(func=cmd_bench)
+
+    args = parser.parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

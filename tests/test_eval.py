@@ -1,0 +1,62 @@
+"""Evaluator: byte-equivalent metrics vs hand-computed confusion counts."""
+
+import numpy as np
+
+from groundgrid_tpu.eval.metrics import Evaluator, PRED_GROUND, PRED_NONGROUND
+
+
+def test_metrics_hand_computed():
+    ev = Evaluator("00")
+    # 10 road points: 8 predicted ground (TP), 2 non-ground (FN)
+    # 5 car points: 3 predicted non-ground (TN), 2 ground (FP)
+    # 4 vegetation: 2 ground, 2 non-ground -> excluded from all ratios
+    # 3 terrain: 3 ground (TP, additional ground list)
+    pred = np.array(
+        [49] * 8 + [99] * 2 + [99] * 3 + [49] * 2 + [49, 49, 99, 99] + [49] * 3
+    )
+    gt = np.array([40] * 10 + [10] * 5 + [70] * 4 + [72] * 3)
+    ev.add_cloud(pred, gt)
+
+    m = ev.compute()
+    tp, fn, fp, tn = 11, 2, 2, 3
+    assert m.true_positive == tp
+    assert m.false_negative == fn
+    assert m.false_positive == fp
+    assert m.true_negative == tn
+    assert np.isclose(m.precision, tp / (tp + fp))
+    assert np.isclose(m.recall, tp / (tp + fn))
+    assert np.isclose(m.f1, 2 * tp / (2 * tp + fp + fn))
+    assert np.isclose(m.accuracy, (tp + tn) / (tp + tn + fp + fn))
+    # IoUg denominator is FP + *total GT ground points* (13), not TP+FP+FN
+    assert np.isclose(m.ioug, tp / (fp + 13))
+
+
+def test_dropped_points_skipped():
+    ev = Evaluator()
+    pred = np.array([0, 0, 49, 99])
+    gt = np.array([40, 10, 40, 10])
+    ev.add_cloud(pred, gt)
+    m = ev.compute()
+    assert m.true_positive == 1 and m.true_negative == 1
+    assert m.gt_ground_total == 1  # dropped road point not counted
+
+
+def test_vegetation_excluded_from_ratios_but_in_table():
+    ev = Evaluator()
+    ev.add_cloud(np.array([49, 99]), np.array([70, 70]))
+    m = ev.compute()
+    assert np.isnan(m.precision) and np.isnan(m.recall)
+    rows = {r[0]: r for r in ev.per_label_table()}
+    assert rows["vegetation"][4] == 2  # still reported per-label
+
+
+def test_statistics_format_smoke():
+    ev = Evaluator("07")
+    rng = np.random.default_rng(0)
+    gt = rng.choice([40, 44, 48, 10, 50, 70, 72], size=1000)
+    pred = np.where(rng.random(1000) < 0.9, 49, 99)
+    ev.add_cloud(pred, gt)
+    text = ev.format_statistics()
+    assert "Received 1 point clouds. KITTI sequence 07." in text
+    assert "Precision" in text and "IoUg" in text
+    assert "road" in text
