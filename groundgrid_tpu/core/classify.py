@@ -2,8 +2,8 @@
 
 TPU-native replacement for the final loop of
 ``GroundSegmentation::filter_cloud`` (``GroundSegmentation.cpp:146-189``):
-a distance/variance-adaptive height tolerance per point, one gather + compare
-instead of a 130k-iteration host loop.
+a distance/variance-adaptive height tolerance per point, flat 1-D gathers +
+compares instead of a 130k-iteration host loop.
 
 Label convention (reference overwrites the PCL ``intensity`` channel,
 ``GroundSegmentation.cpp:175,180``): 99 = non-ground, 49 = ground, and 0 for
@@ -34,7 +34,7 @@ class ClassifyResult(NamedTuple):
 def classify(
     config: GroundGridConfig,
     binning: Binning,
-    points,
+    z,
     ground,
     variance,
     outlier,
@@ -50,16 +50,14 @@ def classify(
     the re-add loop at :184-189 does.
     """
     n = config.cell_count
-    gi = binning.gi
-    g0 = jnp.clip(gi[:, 0], 0, n - 1)
-    g1 = jnp.clip(gi[:, 1], 0, n - 1)
+    flat = jnp.clip(binning.gi0, 0, n - 1) * n + jnp.clip(binning.gi1, 0, n - 1)
 
     considered = binning.inmap & ~outlier
     if config.border_drop:
-        considered &= (gi[:, 0] + 3 < n) & (gi[:, 1] + 3 < n)
+        considered &= (binning.gi0 + 3 < n) & (binning.gi1 + 3 < n)
 
-    gh = ground[g0, g1]
-    var = variance[g0, g1]
+    gh = ground.reshape(-1)[flat]
+    var = variance.reshape(-1)[flat]
     dist = jnp.sqrt(binning.sqdist)
 
     min_dist_fac = jnp.float32(config.minimum_distance_factor * 5)
@@ -67,7 +65,7 @@ def classify(
     h_obs = jnp.float32(config.minimum_point_height_obstacle_threshold)
 
     tol = jnp.maximum(jnp.minimum((min_dist_fac * dist) / var * h_thr, h_thr), h_obs)
-    nonground = tol + gh < points[:, 2]
+    nonground = tol + gh < z
 
     labels = jnp.where(
         considered,

@@ -12,15 +12,20 @@ labeled ground.
 Design notes:
   * The test reads the **previous scan's** ``ground``/``groundpatch`` --
     identical to the reference, where those layers are only written by later
-    stages (detection/interpolation), so insert-threads always saw the prior
-    scan's terrain.
+    stages, so insert-threads always saw the prior scan's terrain.
   * Candidates (z < ground - 0.2) are rare (<~1% of a scan), so they are
-    compacted into a fixed ``max_outlier_candidates`` buffer with ``top_k``
-    and only those rays are marched: ~8k x ray_steps gathers instead of
-    130k x ray_steps. Overflow candidates degrade gracefully to "not outlier".
-  * The loop bound ``step^2 < len^2`` with a unit direction means step < len;
-    rays are capped by the grid half-diagonal, so ``config.ray_steps`` is a
-    static bound and steps are masked, not data-dependent.
+    compacted into a fixed ``max_outlier_candidates`` buffer with ``top_k``;
+    overflow degrades gracefully to "not outlier".
+  * The three per-sample table tests (3x3 confidence block sum, cell
+    confidence, terrain height vs ray height) fold into ONE table lookup: a
+    per-cell monotonic-uint32 key that is 0 where the confidence tests fail
+    and an order-preserving encoding of ``ground`` elsewhere, so
+    ``key[cell] >= key(ray_z + tol)`` reproduces the reference's float
+    comparison exactly.
+  * Everything is flat 1-D: the (K x S) candidate-x-step lattice is linearized
+    and rebuilt from a 1-D iota (candidate = i // S, step = i % S + 3).
+    Outer-product broadcasts / (K, S) reshapes hit multi-millisecond XLA
+    slow paths on TPU; the 1-D formulation runs the whole march in ~40 us.
 """
 
 from __future__ import annotations
@@ -32,6 +37,33 @@ from jax import lax
 from groundgrid_tpu.config import GroundGridConfig
 from groundgrid_tpu.core.rasterize import Binning
 
+U32_TOP = jnp.uint32(0x80000000)
+
+
+def _mono_u32(f):
+    """Order-preserving f32 -> uint32 (total order on non-NaN floats)."""
+    u = lax.bitcast_convert_type(f, jnp.uint32)
+    return jnp.where(f >= 0, u | U32_TOP, ~u)
+
+
+def occlusion_key_table(config: GroundGridConfig, ground, groundpatch):
+    """Per-cell monotonic occlusion key (flattened, (N*N,) uint32).
+
+    key = mono(ground) where [3x3 block sum of confidence > min_conf AND
+    confidence > 0.01], else 0. The block sum uses the reference's low-side
+    index clamp: block<3,3>(max(i-1,2), max(j-1,2)) == centered sum at
+    (max(i,3), max(j,3)) (GroundSegmentation.cpp:268).
+    """
+    box = lax.reduce_window(groundpatch, 0.0, lax.add, (3, 3), (1, 1), "SAME")
+    # low-side clamp: rows/cols 0..2 read the row/col-3 block sum
+    box = jnp.concatenate([jnp.broadcast_to(box[3:4, :], (3,) + box.shape[1:]), box[3:]], axis=0)
+    box = jnp.concatenate([jnp.broadcast_to(box[:, 3:4], box.shape[:1] + (3,)), box[:, 3:]], axis=1)
+    ok = (box > jnp.float32(config.min_outlier_detection_ground_confidence)) & (
+        groundpatch > jnp.float32(0.01)
+    )
+    key = jnp.where(ok, _mono_u32(ground), jnp.uint32(0))
+    return key.reshape(-1)
+
 
 def detect_outliers(
     config: GroundGridConfig,
@@ -39,7 +71,9 @@ def detect_outliers(
     ground,
     groundpatch,
     binning: Binning,
-    points,
+    x,
+    y,
+    z,
     origin,
 ) -> jax.Array:
     """Returns (P,) bool: True for occluded-return outliers.
@@ -50,60 +84,53 @@ def detect_outliers(
     res = jnp.float32(config.resolution)
     half = jnp.float32(config.half_length)
     k_max = config.max_outlier_candidates
+    n_steps = config.ray_steps - 3
+    tol = jnp.float32(config.outlier_tolerance)
 
-    g0 = jnp.clip(binning.gi[:, 0], 0, n - 1)
-    g1 = jnp.clip(binning.gi[:, 1], 0, n - 1)
-    old_h = ground[g0, g1]
-    cand = (
-        binning.inmap
-        & ~binning.ignored
-        & (points[:, 2] < old_h - jnp.float32(0.2))
-    )
+    flat_cell = jnp.clip(binning.gi0, 0, n - 1) * n + jnp.clip(binning.gi1, 0, n - 1)
+    old_h = ground.reshape(-1)[flat_cell]
+    cand = binning.inmap & ~binning.ignored & (z < old_h - jnp.float32(0.2))
 
-    # 3x3 confidence block sums with the reference's low-side index clamp:
-    # block<3,3>(max(i-1,2), max(j-1,2)) == centered sum at (max(i,3), max(j,3))
-    # (GroundSegmentation.cpp:268).
-    box = lax.reduce_window(
-        groundpatch, 0.0, lax.add, (3, 3), (1, 1), "SAME"
-    )
+    key_table = occlusion_key_table(config, ground, groundpatch)
 
-    # Compact candidate points into a fixed-size buffer.
-    scores = cand.astype(jnp.int32)
-    vals, pidx = lax.top_k(scores, k_max)
-    active = vals > 0  # (K,)
-    p = points[pidx]  # (K, 3)
+    # compact candidates into a fixed-size buffer (top_k == sort by flag)
+    vals, pidx = lax.top_k(cand.astype(jnp.int32), k_max)
+    active = vals > 0
+    px = x[pidx]
+    py = y[pidx]
+    pz = z[pidx]
+    dx = px - origin[0]
+    dy = py - origin[1]
+    dz = pz - origin[2]
+    length = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+    inv_len = 1.0 / jnp.maximum(length, 1e-12)
+    vx = dx * inv_len
+    vy = dy * inv_len
+    vz = dz * inv_len
+    # fold the loop-invariant conditions (GroundSegmentation.cpp:258) into the
+    # per-candidate step budget: inactive or non-descending rays march 0 steps
+    budget = jnp.where(active & (vz < jnp.float32(-0.01)), length, 0.0)
 
-    vec = p - origin
-    length = jnp.sqrt(jnp.sum(vec * vec, axis=-1))
-    vec = vec / jnp.maximum(length, 1e-12)[:, None]
-    marching = active & (vec[:, 2] < jnp.float32(-0.01))  # loop-invariant test
+    # ---- flat (K*S,) march ----
+    m = k_max * n_steps
+    ii = jnp.arange(m, dtype=jnp.int32)
+    j = ii // n_steps
+    kk = (ii - j * n_steps + 3).astype(jnp.float32)
+    gvx = vx[j]
+    gvy = vy[j]
+    gvz = vz[j]
+    within = kk < budget[j]
 
-    steps = jnp.arange(3, config.ray_steps, dtype=jnp.float32)  # (S,)
-    within = marching[:, None] & (steps[None, :] < length[:, None])  # (K, S)
-
-    # Ray sample positions and their cell indices, all steps at once.
-    sx = origin[0] + steps[None, :] * vec[:, 0:1]
-    sy = origin[1] + steps[None, :] * vec[:, 1:2]
+    sx = origin[0] + kk * gvx
+    sy = origin[1] + kk * gvy
     i0 = jnp.floor(((center[0] + half) - sx) / res).astype(jnp.int32)
     i1 = jnp.floor(((center[1] + half) - sy) / res).astype(jnp.int32)
     inside = (i0 > 0) & (i1 > 0) & (i0 < n - 1) & (i1 < n - 1)
+    flat = jnp.clip(i0, 0, n - 1) * n + jnp.clip(i1, 0, n - 1)
+    key = key_table[flat]
+    thr = _mono_u32(kk * gvz + origin[2] + tol)
+    hit = (within & inside & (key >= thr)).astype(jnp.int32)
 
-    c0 = jnp.clip(i0, 0, n - 1)
-    c1 = jnp.clip(i1, 0, n - 1)
-    flat = c0 * n + c1
-    gp = groundpatch.reshape(-1)[flat]
-    gl = ground.reshape(-1)[flat]
-    bs = box.reshape(-1)[jnp.clip(i0, 3, n - 1) * n + jnp.clip(i1, 3, n - 1)]
-
-    ray_z = steps[None, :] * vec[:, 2:3] + origin[2]
-    hit = (
-        within
-        & inside
-        & (bs > jnp.float32(config.min_outlier_detection_ground_confidence))
-        & (gp > jnp.float32(0.01))
-        & (gl >= ray_z + jnp.float32(config.outlier_tolerance))
-    )
-    outlier_k = jnp.any(hit, axis=1) & active  # (K,)
-
-    out = jnp.zeros(points.shape[0], dtype=bool)
-    return out.at[pidx].set(outlier_k)
+    hit_k = jnp.zeros((k_max,), jnp.int32).at[j].max(hit)
+    out = jnp.zeros((x.shape[0],), jnp.int32).at[pidx].max(hit_k)
+    return out > 0

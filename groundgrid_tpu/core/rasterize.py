@@ -4,16 +4,18 @@ TPU-native replacement for ``GroundSegmentation::insert_cloud``
 (``GroundSegmentation.cpp:200-311``). The reference mutates shared per-cell
 running accumulators from 8 racing threads (count, running mean z, Welford
 mean/M2 of z - origin.z, min z with a -1e-4 epsilon, max z, raw count); here
-the same statistics are produced by *deterministic* fused scatter reductions:
+the same statistics are produced by *deterministic* fused scatter reductions.
 
-  * one scatter-add producing [rawCount, count, sum z, sum pd', sum pd'^2]
-  * one scatter-min (min z - 1e-4) and one scatter-max (max z)
+In exact arithmetic every layer equals the reference's sequential formulas
+(the Welford M2 becomes the shifted two-pass form
+``m2 = sum pd'^2 - (sum pd')^2 / n`` with a per-scan conditioning shift);
+determinism is a behavioral improvement over the reference's tolerated data
+races (SURVEY.md section 2.2).
 
-where pd = z - origin.z and pd' = pd - s with a per-scan scalar shift s (the
-global mean of pd) so the Welford-equivalent ``m2 = sum pd'^2 - (sum pd')^2/n``
-stays well-conditioned in float32. In exact arithmetic every layer equals the
-reference's sequential formulas; determinism is a behavioral improvement over
-the reference's tolerated data races (SURVEY.md section 2.2).
+Layout: everything point-indexed is a flat (P,) array (SoA). On TPU, (P, k)
+arrays with tiny minor dimensions tile to (8, 128) with ~97% padding and
+drag multi-millisecond relayout copies into the pipeline; 1-D arrays ride the
+vectorized fast paths for elementwise, gather AND scatter ops.
 """
 
 from __future__ import annotations
@@ -24,7 +26,6 @@ import jax
 import jax.numpy as jnp
 
 from groundgrid_tpu.config import GroundGridConfig
-from groundgrid_tpu.core import grid as gridlib
 
 FLT_MAX = jnp.float32(jnp.finfo(jnp.float32).max)
 FLT_TINY = jnp.float32(jnp.finfo(jnp.float32).tiny)  # C++ FLT_MIN
@@ -45,16 +46,17 @@ class RasterLayers(NamedTuple):
 
 
 class Binning(NamedTuple):
-    """Per-point cell assignment shared by all stages."""
+    """Per-point cell assignment shared by all stages (all (P,) flat)."""
 
-    gi: jax.Array  # (P, 2) int32 cell index
+    gi0: jax.Array  # (P,) int32 row index
+    gi1: jax.Array  # (P,) int32 col index
     cell: jax.Array  # (P,) int32 flat cell id; == n*n for out-of-map/padding
     inmap: jax.Array  # (P,) bool valid & inside grid
     ignored: jax.Array  # (P,) bool in-map but ring/near-field ignored
     sqdist: jax.Array  # (P,) f32 squared xy distance to sensor origin
 
 
-def bin_points(config: GroundGridConfig, center, points, rings, valid, origin) -> Binning:
+def bin_points(config: GroundGridConfig, center, x, y, z, rings, valid, origin) -> Binning:
     """Assign points to cells, flag ignored points.
 
     Ignore rule (GroundSegmentation.cpp:237-240): ring > max_ring or squared
@@ -62,29 +64,31 @@ def bin_points(config: GroundGridConfig, center, points, rings, valid, origin) -
     but are still classified at the end (re-added, :150).
     """
     n = config.cell_count
-    gi = gridlib.position_to_index(config, center, points[:, :2])
-    inmap = gridlib.index_valid(config, gi) & valid
-    cell = jnp.where(inmap, gi[:, 0] * n + gi[:, 1], n * n).astype(jnp.int32)
-    dx = points[:, 0] - origin[0]
-    dy = points[:, 1] - origin[1]
+    res = jnp.float32(config.resolution)
+    half = jnp.float32(config.half_length)
+    gi0 = jnp.floor(((center[0] + half) - x) / res).astype(jnp.int32)
+    gi1 = jnp.floor(((center[1] + half) - y) / res).astype(jnp.int32)
+    inmap = (gi0 >= 0) & (gi0 < n) & (gi1 >= 0) & (gi1 < n) & valid
+    cell = jnp.where(inmap, gi0 * n + gi1, n * n).astype(jnp.int32)
+    dx = x - origin[0]
+    dy = y - origin[1]
     sqdist = dx * dx + dy * dy
     ignored = inmap & (
         (rings > config.max_ring) | (sqdist < jnp.float32(config.min_dist_squared))
     )
-    return Binning(gi=gi, cell=cell, inmap=inmap, ignored=ignored, sqdist=sqdist)
+    return Binning(gi0=gi0, gi1=gi1, cell=cell, inmap=inmap, ignored=ignored, sqdist=sqdist)
 
 
 def rasterize(
     config: GroundGridConfig,
     binning: Binning,
-    points,
+    z,
     origin,
     accept,  # (P,) bool: in-map, not ignored, not outlier
 ) -> RasterLayers:
-    """Scatter-accumulate all per-cell statistics in three fused scatters."""
+    """Scatter-accumulate all per-cell statistics (1-D scatters)."""
     n = config.cell_count
     n2 = n * n
-    z = points[:, 2]
     pd = z - origin[2]
 
     acc = accept.astype(jnp.float32)
@@ -92,36 +96,33 @@ def rasterize(
     shift = jnp.sum(jnp.where(accept, pd, 0.0)) / total  # conditioning shift s
     pdc = jnp.where(accept, pd - shift, 0.0)
 
-    vals = jnp.stack(
-        [
-            binning.inmap.astype(jnp.float32),  # pointsRaw counts every in-map pt
-            acc,
-            jnp.where(accept, z, 0.0),
-            pdc,
-            pdc * pdc,
-        ],
-        axis=-1,
-    )
-    sums = jnp.zeros((n2 + 1, 5), jnp.float32).at[binning.cell].add(vals)
-    sums = sums[:n2].reshape(n, n, 5)
+    cell = binning.cell
+    zeros = jnp.zeros((n2 + 1,), jnp.float32)
+    points_raw = zeros.at[cell].add(binning.inmap.astype(jnp.float32))
+    count = zeros.at[cell].add(acc)
+    sum_z = zeros.at[cell].add(jnp.where(accept, z, 0.0))
+    sum_pdc = zeros.at[cell].add(pdc)
+    sum_pdc2 = zeros.at[cell].add(pdc * pdc)
 
-    points_raw = sums[..., 0]
-    count = sums[..., 1]
-    sum_z = sums[..., 2]
-    sum_pdc = sums[..., 3]
-    sum_pdc2 = sums[..., 4]
+    minv = jnp.where(accept, z - jnp.float32(1e-4), FLT_MAX)  # epsilon (:308)
+    maxv = jnp.where(accept, z, FLT_TINY)  # init FLT_MIN quirk (:73)
+    min_gh = jnp.full((n2 + 1,), FLT_MAX, jnp.float32).at[cell].min(minv)
+    max_gh = jnp.full((n2 + 1,), FLT_TINY, jnp.float32).at[cell].max(maxv)
+
+    def grid(a):
+        return a[:n2].reshape(n, n)
+
+    points_raw = grid(points_raw)
+    count = grid(count)
+    sum_z = grid(sum_z)
+    sum_pdc = grid(sum_pdc)
+    sum_pdc2 = grid(sum_pdc2)
 
     safe = jnp.maximum(count, 1.0)
     mean_pdc = sum_pdc / safe
     ground_candidates = sum_z / safe  # == running mean (:296), 0 for empty cells
     mean_pd = jnp.where(count > 0, mean_pdc + shift, 0.0)
     m2 = jnp.maximum(sum_pdc2 - sum_pdc * mean_pdc, 0.0)
-
-    minv = jnp.where(accept, z - jnp.float32(1e-4), FLT_MAX)  # epsilon (:308)
-    maxv = jnp.where(accept, z, FLT_TINY)  # init FLT_MIN quirk (:73)
-    min_gh = jnp.full((n2 + 1,), FLT_MAX, jnp.float32).at[binning.cell].min(minv)
-    max_gh = jnp.full((n2 + 1,), FLT_TINY, jnp.float32).at[binning.cell].max(maxv)
-
     variance = m2 / (count + FLT_TINY)
 
     return RasterLayers(
@@ -131,7 +132,7 @@ def rasterize(
         plane_dist=mean_pd,
         mean_variance=mean_pd,
         m2=m2,
-        min_ground_height=min_gh[:n2].reshape(n, n),
-        max_ground_height=max_gh[:n2].reshape(n, n),
+        min_ground_height=grid(min_gh),
+        max_ground_height=grid(max_gh),
         variance=variance,
     )

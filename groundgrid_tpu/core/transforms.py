@@ -36,6 +36,20 @@ def transform_points(T, points):
     return np.stack([out_x, out_y, out_z], axis=-1)
 
 
+def transform_points_soa(T, x, y, z):
+    """Rigid transform in structure-of-arrays form: 3 x (P,) in, 3 x (P,) out.
+
+    The pipeline-internal variant of :func:`transform_points`: flat (P,)
+    arrays keep every downstream op (gather/scatter/elementwise) on the TPU
+    vectorized fast path, where (P, 3) minor-dim layouts trigger relayout
+    copies.
+    """
+    out_x = T[0, 0] * x + T[0, 1] * y + T[0, 2] * z + T[0, 3]
+    out_y = T[1, 0] * x + T[1, 1] * y + T[1, 2] * z + T[1, 3]
+    out_z = T[2, 0] * x + T[2, 1] * y + T[2, 2] * z + T[2, 3]
+    return out_x, out_y, out_z
+
+
 def invert_rigid(T):
     """Invert a rigid 4x4 transform: [R|t]^-1 = [R^T | -R^T t]."""
     xp = jnp if isinstance(T, jnp.ndarray) else np

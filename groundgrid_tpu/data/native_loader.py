@@ -1,0 +1,148 @@
+"""ctypes binding for the native threaded scan loader (native/loader.cpp).
+
+The C++ loader prefetches SemanticKITTI scans ahead of the consumer on worker
+threads and returns buffers already padded to the pipeline's static point
+capacity -- the native counterpart of the reference's Python data feeder
+(``scripts/kitti_data_publisher.py``). Falls back transparently to the pure
+NumPy reader when the shared library hasn't been built; build it with
+``make -C native`` (done automatically on first use if a compiler exists).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Iterator, Optional
+
+import numpy as np
+
+from groundgrid_tpu.data.semantickitti import ScanRecord, SemanticKITTI
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
+_LIB_PATH = os.path.join(_NATIVE_DIR, "build", "libggloader.so")
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _build_library() -> bool:
+    if not os.path.exists(os.path.join(_NATIVE_DIR, "Makefile")):
+        return False
+    try:
+        subprocess.run(
+            ["make", "-C", _NATIVE_DIR, "-s"], check=True,
+            capture_output=True, timeout=120,
+        )
+        return os.path.exists(_LIB_PATH)
+    except (subprocess.SubprocessError, OSError):
+        return False
+
+
+def load_library(auto_build: bool = True) -> Optional[ctypes.CDLL]:
+    """Load (building if needed) the native loader; None if unavailable."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH) and auto_build and not _build_library():
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+    lib.gg_loader_create.restype = ctypes.c_void_p
+    lib.gg_loader_create.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+    ]
+    lib.gg_loader_next.restype = ctypes.c_int64
+    lib.gg_loader_next.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.gg_loader_seek.restype = None
+    lib.gg_loader_seek.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    lib.gg_loader_destroy.restype = None
+    lib.gg_loader_destroy.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+def native_available() -> bool:
+    return load_library() is not None
+
+
+class PrefetchingLoader:
+    """Iterate a SemanticKITTI sequence with native threaded read-ahead.
+
+    Yields :class:`ScanRecord` like ``SemanticKITTI.iter_scans`` (poses/times
+    still come from the Python reader; the hot per-scan file I/O + label
+    unpacking runs in C++). Degrades to the NumPy reader when the native
+    library is unavailable.
+    """
+
+    def __init__(
+        self,
+        dataset: SemanticKITTI,
+        cap: int = 150_000,
+        n_threads: int = 4,
+        queue_depth: int = 8,
+    ):
+        self.ds = dataset
+        self.cap = cap
+        self._lib = load_library()
+        self._handle = None
+        if self._lib is not None:
+            self._handle = ctypes.c_void_p(
+                self._lib.gg_loader_create(
+                    self.ds.root.encode(), len(self.ds), cap, n_threads, queue_depth
+                )
+            )
+        self._pts = np.empty((cap, 4), np.float32)
+        self._lab = np.empty((cap,), np.int32)
+
+    @property
+    def native(self) -> bool:
+        return self._handle is not None
+
+    def seek(self, index: int) -> None:
+        if self._handle is not None:
+            self._lib.gg_loader_seek(self._handle, index)
+        self._next_fallback = index
+
+    def __iter__(self) -> Iterator[ScanRecord]:
+        if self._handle is None:
+            yield from self.ds.iter_scans()
+            return
+        count = ctypes.c_int32(0)
+        while True:
+            idx = self._lib.gg_loader_next(
+                self._handle,
+                self._pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                self._lab.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                ctypes.byref(count),
+            )
+            if idx < 0:
+                if idx == -2:
+                    raise IOError("native loader failed to read a scan")
+                return
+            c = count.value
+            yield ScanRecord(
+                index=int(idx),
+                timestamp=float(self.ds.times[idx]),
+                points=self._pts[:c].copy(),
+                labels=self._lab[:c].copy(),
+                t_map_velo=self.ds.poses[idx],
+            )
+
+    def close(self) -> None:
+        if self._handle is not None:
+            self._lib.gg_loader_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -39,7 +39,9 @@ from groundgrid_tpu.core.grid import GridState
 class Scan(NamedTuple):
     """One LiDAR scan + ego pose, padded to static shapes.
 
-    points: (P, 3) f32 sensor-frame xyz; padding rows arbitrary.
+    points: (3, P) f32 sensor-frame xyz, structure-of-arrays (x/y/z rows);
+            padding columns arbitrary. SoA keeps every per-point op on the
+            TPU fast path -- (P, 3) minor-dim layouts cost ~ms relayouts.
     rings:  (P,) i32 ring channel; the SemanticKITTI harness packs the
             semantic label here (scripts/kitti_data_publisher.py:123-145),
             and it rides through the pipeline untouched for evaluation.
@@ -62,7 +64,7 @@ class StepOutput(NamedTuple):
 
     labels: jax.Array  # (P,) int32
     outlier: jax.Array  # (P,) bool (occlusion outliers, force-ground)
-    points_map: jax.Array  # (P, 3) f32 map-frame points (for consumers/viz)
+    points_map: jax.Array  # (3, P) f32 map-frame points, SoA (for consumers/viz)
 
 
 class AuxLayers(NamedTuple):
@@ -109,7 +111,9 @@ def make_step_fn(config: GroundGridConfig, with_aux: bool = False):
 
     def step_impl(state: GridState, scan: Scan):
         # --- transform to map frame (GroundGridNodelet.cpp:139-184) ---
-        points_map = tf.transform_points(scan.t_map_velo, scan.points)
+        x, y, z = tf.transform_points_soa(
+            scan.t_map_velo, scan.points[0], scan.points[1], scan.points[2]
+        )
         origin = scan.t_map_velo[:3, 3]
 
         # --- grid relocation (GroundGrid.cpp:83-147) ---
@@ -117,18 +121,18 @@ def make_step_fn(config: GroundGridConfig, with_aux: bool = False):
 
         # --- binning ---
         binning = rasterlib.bin_points(
-            config, state.center, points_map, scan.rings, scan.valid, origin
+            config, state.center, x, y, z, scan.rings, scan.valid, origin
         )
 
         # --- outlier ray-march against previous terrain (cpp:242-275) ---
         outlier = outlierlib.detect_outliers(
             config, state.center, state.ground, state.groundpatch,
-            binning, points_map, origin,
+            binning, x, y, z, origin,
         )
 
         # --- rasterize (cpp:200-311) ---
         accept = binning.inmap & ~binning.ignored & ~outlier
-        raster = rasterlib.rasterize(config, binning, points_map, origin, accept)
+        raster = rasterlib.rasterize(config, binning, z, origin, accept)
 
         # --- ground patch detection (cpp:314-395) ---
         ground, groundpatch = detectlib.detect_ground_patches(
@@ -141,11 +145,14 @@ def make_step_fn(config: GroundGridConfig, with_aux: bool = False):
 
         # --- classification (cpp:146-189) ---
         result = classifylib.classify(
-            config, binning, points_map, ground, raster.variance, outlier
+            config, binning, z, ground, raster.variance, outlier
         )
 
         new_state = GridState(ground=ground, groundpatch=groundpatch, center=state.center)
-        out = StepOutput(labels=result.labels, outlier=outlier, points_map=points_map)
+        out = StepOutput(
+            labels=result.labels, outlier=outlier,
+            points_map=jnp.stack([x, y, z], axis=0),
+        )
         if not with_aux:
             return new_state, out
         aux = AuxLayers(
@@ -203,10 +210,10 @@ def pad_scan(
     cap = config.max_points
     if count > cap:
         p, r, count = p[:cap], r[:cap], cap
-    pts = np.zeros((cap, 3), dtype=np.float32)
+    pts = np.zeros((3, cap), dtype=np.float32)
     rng = np.zeros((cap,), dtype=np.int32)
     msk = np.zeros((cap,), dtype=bool)
-    pts[:count] = p[:, :3]
+    pts[:, :count] = p[:, :3].T
     rng[:count] = r
     msk[:count] = True
 

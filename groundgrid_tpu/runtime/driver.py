@@ -81,11 +81,11 @@ class StreamingDriver:
         mv, mb, bm = tf.scan_poses(rec.t_map_velo)
         cfg = self.config
         cap = cfg.max_points
-        pts = np.zeros((cap, 3), np.float32)
+        pts = np.zeros((3, cap), np.float32)  # SoA (see pipeline.Scan)
         rng = np.zeros((cap,), np.int32)
         msk = np.zeros((cap,), bool)
         count = min(rec.points.shape[0], cap)
-        pts[:count] = rec.points[:count, :3]
+        pts[:, :count] = rec.points[:count, :3].T
         rng[:count] = rec.labels[:count]
         msk[:count] = True
         return Scan(

@@ -1,0 +1,58 @@
+"""Native C++ threaded scan loader (skipped when toolchain unavailable)."""
+
+import numpy as np
+import pytest
+
+from groundgrid_tpu.data.native_loader import PrefetchingLoader, native_available
+from groundgrid_tpu.data.semantickitti import SemanticKITTI, write_sequence
+
+pytestmark = pytest.mark.skipif(
+    not native_available(), reason="native loader not built (no C++ toolchain?)"
+)
+
+
+@pytest.fixture()
+def dataset(tmp_path):
+    rng = np.random.default_rng(1)
+    scans = []
+    for k in range(8):
+        pts = rng.normal(size=(200 + 10 * k, 4)).astype(np.float32)
+        lbl = (np.uint32(5) << 16) + rng.choice([40, 10, 72], size=200 + 10 * k).astype(np.uint32)
+        T = np.eye(4)
+        T[0, 3] = float(k)
+        scans.append((pts, lbl, T))
+    write_sequence(tmp_path, 0, scans)
+    return SemanticKITTI(tmp_path, 0), scans
+
+
+def test_matches_numpy_reader(dataset):
+    ds, scans = dataset
+    loader = PrefetchingLoader(ds, cap=512, n_threads=3, queue_depth=4)
+    assert loader.native
+    for rec, ref in zip(loader, ds.iter_scans()):
+        assert rec.index == ref.index
+        np.testing.assert_allclose(rec.points, ref.points)
+        np.testing.assert_array_equal(rec.labels, ref.labels)  # low-16 masked
+        np.testing.assert_allclose(rec.t_map_velo, ref.t_map_velo)
+    loader.close()
+
+
+def test_seek_semantics(dataset):
+    ds, _ = dataset
+    loader = PrefetchingLoader(ds, cap=512, n_threads=2, queue_depth=3)
+    it = iter(loader)
+    assert next(it).index == 0
+    loader.seek(5)
+    assert [r.index for r in loader] == [5, 6, 7]
+    loader.seek(1)  # backward seek after exhaustion
+    assert [r.index for r in loader][:2] == [1, 2]
+    loader.close()
+
+
+def test_truncation_to_cap(dataset):
+    ds, scans = dataset
+    loader = PrefetchingLoader(ds, cap=100, n_threads=2, queue_depth=2)
+    rec = next(iter(loader))
+    assert rec.points.shape == (100, 4)
+    np.testing.assert_allclose(rec.points, scans[0][0][:100])
+    loader.close()

@@ -60,14 +60,15 @@ def golden_run(small_config, small_scans):
 
 def _binning(cfg, rec):
     center = jnp.asarray(rec["pre_state"][2], jnp.float32)
-    pts = jnp.asarray(rec["pts_map"])
-    valid = jnp.ones(pts.shape[0], dtype=bool)
+    pm = rec["pts_map"]
+    x, y, z = (jnp.asarray(pm[:, 0]), jnp.asarray(pm[:, 1]), jnp.asarray(pm[:, 2]))
+    valid = jnp.ones(pm.shape[0], dtype=bool)
     return (
         rasterlib.bin_points(
-            cfg, center, pts, jnp.asarray(rec["rings"]), valid, jnp.asarray(rec["origin"])
+            cfg, center, x, y, z, jnp.asarray(rec["rings"]), valid, jnp.asarray(rec["origin"])
         ),
         center,
-        pts,
+        (x, y, z),
     )
 
 
@@ -84,11 +85,11 @@ def test_binning_and_ignored(small_config, golden_run, scan_idx):
 def test_outliers_match(small_config, golden_run, scan_idx):
     cfg = small_config
     rec = golden_run[scan_idx]
-    binning, center, pts = _binning(cfg, rec)
+    binning, center, (x, y, z) = _binning(cfg, rec)
     ground = jnp.asarray(rec["pre_state"][0])
     patch = jnp.asarray(rec["pre_state"][1])
     out = outlierlib.detect_outliers(
-        cfg, center, ground, patch, binning, pts, jnp.asarray(rec["origin"])
+        cfg, center, ground, patch, binning, x, y, z, jnp.asarray(rec["origin"])
     )
     got = set(np.nonzero(np.asarray(out))[0].tolist())
     expect = set(rec["outliers"].tolist())
@@ -99,11 +100,11 @@ def test_outliers_match(small_config, golden_run, scan_idx):
 def test_rasterize_layers(small_config, golden_run, scan_idx):
     cfg = small_config
     rec = golden_run[scan_idx]
-    binning, center, pts = _binning(cfg, rec)
-    outlier = np.zeros(pts.shape[0], dtype=bool)
+    binning, center, (x, y, z) = _binning(cfg, rec)
+    outlier = np.zeros(x.shape[0], dtype=bool)
     outlier[rec["outliers"]] = True
     accept = binning.inmap & ~binning.ignored & ~jnp.asarray(outlier)
-    raster = rasterlib.rasterize(cfg, binning, pts, jnp.asarray(rec["origin"]), accept)
+    raster = rasterlib.rasterize(cfg, binning, z, jnp.asarray(rec["origin"]), accept)
 
     sc = rec["scratch"]
     # counts are exact
@@ -131,8 +132,8 @@ def test_detect_with_golden_inputs(small_config, golden_run, scan_idx):
     tables = detectlib.make_tables(cfg)
     # golden's "points" layer was zeroed & reused for non-ground counts during
     # classification; rebuild the pre-classification count layer exactly.
-    binning, center, pts = _binning(cfg, rec)
-    outlier = np.zeros(pts.shape[0], dtype=bool)
+    binning, center, (x, y, z) = _binning(cfg, rec)
+    outlier = np.zeros(x.shape[0], dtype=bool)
     outlier[rec["outliers"]] = True
     accept = np.asarray(binning.inmap) & ~np.asarray(binning.ignored) & ~outlier
     n = cfg.cell_count
@@ -173,14 +174,14 @@ def test_spiral_exact(small_config, golden_run, scan_idx):
 def test_classify_with_golden_inputs(small_config, golden_run, scan_idx):
     cfg = small_config
     rec = golden_run[scan_idx]
-    binning, center, pts = _binning(cfg, rec)
-    outlier = np.zeros(pts.shape[0], dtype=bool)
+    binning, center, (x, y, z) = _binning(cfg, rec)
+    outlier = np.zeros(x.shape[0], dtype=bool)
     outlier[rec["outliers"]] = True
     ground, _ = rec["snapshots"]["post_spiral"]
     res = classifylib.classify(
         cfg,
         binning,
-        pts,
+        z,
         jnp.asarray(ground),
         jnp.asarray(rec["scratch"]["variance"]),
         jnp.asarray(outlier),
