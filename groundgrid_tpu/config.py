@@ -67,9 +67,11 @@ class GroundGridConfig:
     ray_steps: int = 96
     # Static bound on the number of below-ground candidate points that are
     # ray-marched per scan. The reference marches every candidate; we compact
-    # the (rare) candidates into a fixed-size buffer. Overflowing candidates
-    # are treated as non-outliers (i.e. kept as regular points).
-    max_outlier_candidates: int = 8192
+    # the (rare, <~1% of a scan) candidates into a fixed-size buffer.
+    # Overflowing candidates are treated as non-outliers (i.e. kept as
+    # regular points). 2048 is ~4x the worst per-scan candidate count seen on
+    # realistic scans; the march's serial table gather scales with this.
+    max_outlier_candidates: int = 2048
     # Reproduce the reference's "drop points within 3 cells of the max-index
     # border" quirk (GroundSegmentation.cpp:167-168).
     border_drop: bool = True

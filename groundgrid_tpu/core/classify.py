@@ -17,6 +17,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from groundgrid_tpu.config import GroundGridConfig
 from groundgrid_tpu.core.rasterize import Binning
@@ -38,6 +39,7 @@ def classify(
     ground,
     variance,
     outlier,
+    with_counts: bool = True,
 ) -> ClassifyResult:
     """Classify every surviving point.
 
@@ -60,9 +62,9 @@ def classify(
     var = variance.reshape(-1)[flat]
     dist = jnp.sqrt(binning.sqdist)
 
-    min_dist_fac = jnp.float32(config.minimum_distance_factor * 5)
-    h_thr = jnp.float32(config.miminum_point_height_threshold)
-    h_obs = jnp.float32(config.minimum_point_height_obstacle_threshold)
+    min_dist_fac = np.float32(config.minimum_distance_factor * 5)
+    h_thr = np.float32(config.miminum_point_height_threshold)
+    h_obs = np.float32(config.minimum_point_height_obstacle_threshold)
 
     tol = jnp.maximum(jnp.minimum((min_dist_fac * dist) / var * h_thr, h_thr), h_obs)
     nonground = tol + gh < z
@@ -75,10 +77,14 @@ def classify(
     labels = jnp.where(outlier, LABEL_GROUND, labels).astype(jnp.int32)
 
     # non-ground per-cell count (reference reuses the zeroed "points" layer,
-    # GroundSegmentation.cpp:147,176; published in grid images only).
-    inc = (considered & nonground).astype(jnp.float32)
-    cell = jnp.where(considered & nonground, binning.cell, n * n)
-    nonground_count = (
-        jnp.zeros((n * n + 1,), jnp.float32).at[cell].add(inc)[: n * n].reshape(n, n)
-    )
+    # GroundSegmentation.cpp:147,176; published in grid images only, so it is
+    # skipped on the hot path unless aux layers were requested).
+    if with_counts:
+        inc = (considered & nonground).astype(jnp.float32)
+        cell = jnp.where(considered & nonground, binning.cell, n * n)
+        nonground_count = (
+            jnp.zeros((n * n + 1,), jnp.float32).at[cell].add(inc)[: n * n].reshape(n, n)
+        )
+    else:
+        nonground_count = jnp.zeros((n, n), jnp.float32)
     return ClassifyResult(labels=labels, nonground_count=nonground_count)

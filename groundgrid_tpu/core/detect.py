@@ -28,7 +28,7 @@ from jax import lax
 from groundgrid_tpu.config import GroundGridConfig
 from groundgrid_tpu.golden import expected_points_table
 
-FLT_TINY = jnp.float32(jnp.finfo(jnp.float32).tiny)
+FLT_TINY = np.float32(np.finfo(np.float32).tiny)
 
 
 class DetectTables(NamedTuple):
@@ -67,13 +67,18 @@ def make_tables(config: GroundGridConfig) -> DetectTables:
 
     min_expected_s = expected * s * thr  # branch gate (cpp:382), sans groundDiff
 
+    # NOTE: tables stay host-side numpy so jit tracing embeds them as HLO
+    # literal constants. Pre-committed jnp device arrays captured by a jitted
+    # function become runtime buffer parameters, which (on the axon TPU
+    # backend) force scalar-serial codegen for every fusion touching them --
+    # a ~1000x slowdown observed on the outlier march.
     return DetectTables(
-        expected=jnp.asarray(expected, jnp.float32),
-        use3=jnp.asarray(use3),
-        var_thr_sq=jnp.asarray(var_thr_sq, jnp.float32),
-        skip_thr=jnp.asarray(skip_thr, jnp.float32),
-        interior=jnp.asarray(interior),
-        min_expected_s=jnp.asarray(min_expected_s, jnp.float32),
+        expected=expected.astype(np.float32),
+        use3=use3,
+        var_thr_sq=var_thr_sq.astype(np.float32),
+        skip_thr=skip_thr.astype(np.float32),
+        interior=interior,
+        min_expected_s=min_expected_s.astype(np.float32),
     )
 
 
@@ -126,7 +131,7 @@ def detect_ground_patches(
     safe = jnp.maximum(psum, 1.0)
     center_var = variance
     max_var = jnp.where(
-        points >= jnp.float32(cfg.point_count_cell_variance_threshold),
+        points >= np.float32(cfg.point_count_cell_variance_threshold),
         center_var,
         pvsum / safe,
     )
@@ -134,10 +139,10 @@ def detect_ground_patches(
 
     ground_diff = jnp.maximum((groundlevel - ground) * (2.0 * groundpatch), 1.0)
     guard = (groundpatch > 0.5) & (
-        groundlevel >= ground + jnp.float32(cfg.outlier_tolerance)
+        groundlevel >= ground + np.float32(cfg.outlier_tolerance)
     )
 
-    ocpcf = jnp.float32(cfg.occupied_cells_point_count_factor)
+    ocpcf = np.float32(cfg.occupied_cells_point_count_factor)
     branch1 = (
         (tables.var_thr_sq > max_var * max_var)
         & (max_var > 0)

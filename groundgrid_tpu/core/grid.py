@@ -23,6 +23,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from groundgrid_tpu.config import GroundGridConfig
 
@@ -51,7 +52,7 @@ def create(config: GroundGridConfig, center_xy, center_z) -> GridState:
     """
     n = config.cell_count
     center_xy = jnp.asarray(center_xy, dtype=jnp.float32)
-    ground = jnp.full((n, n), jnp.float32(center_z), dtype=jnp.float32)
+    ground = jnp.full((n, n), jnp.asarray(center_z, jnp.float32))
     groundpatch = jnp.full((n, n), 1e-7, dtype=jnp.float32)
     return GridState(ground=ground, groundpatch=groundpatch, center=center_xy)
 
@@ -65,7 +66,7 @@ def index_shift(config: GroundGridConfig, center, new_position):
     Note the sign: position *increase* shifts content toward *higher* indices
     (index 0 is the max-position corner).
     """
-    res = jnp.float32(config.resolution)
+    res = np.float32(config.resolution)
     delta = jnp.asarray(new_position, jnp.float32) - center
     k = jnp.round(delta / res).astype(jnp.int32)
     new_center = center + k.astype(jnp.float32) * res
@@ -128,8 +129,8 @@ def cell_positions(config: GroundGridConfig, center):
     (axis 0 <-> x, axis 1 <-> y, both reversed). Returns two (N, N) arrays.
     """
     n = config.cell_count
-    res = jnp.float32(config.resolution)
-    half = jnp.float32(config.half_length)
+    res = np.float32(config.resolution)
+    half = np.float32(config.half_length)
     coord = half - (jnp.arange(n, dtype=jnp.float32) + 0.5) * res
     px = jnp.broadcast_to(center[0] + coord[:, None], (n, n))
     py = jnp.broadcast_to(center[1] + coord[None, :], (n, n))
@@ -142,8 +143,8 @@ def position_to_index(config: GroundGridConfig, center, xy):
     ``idx = floor((center + half - pos) / res)``; callers mask validity with
     :func:`index_valid`. ``xy`` is (..., 2).
     """
-    res = jnp.float32(config.resolution)
-    half = jnp.float32(config.half_length)
+    res = np.float32(config.resolution)
+    half = np.float32(config.half_length)
     rel = (center + half) - jnp.asarray(xy)
     return jnp.floor(rel / res).astype(jnp.int32)
 

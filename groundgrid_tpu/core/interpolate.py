@@ -31,11 +31,12 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from groundgrid_tpu.config import GroundGridConfig
 
-FLT_TINY = jnp.float32(jnp.finfo(jnp.float32).tiny)
+FLT_TINY = np.float32(np.finfo(np.float32).tiny)
 
 
 def _affine_scan(a, b):
@@ -60,8 +61,8 @@ def _segment_update(config: GroundGridConfig, h, c, fixed, lo, hi, transposed, d
     """
     n = config.cell_count
     c_idx = config.center_cell
-    res2 = jnp.float32(config.resolution**2)
-    dec = jnp.float32(config.occupied_cells_decrease_factor)
+    res2 = np.float32(config.resolution**2)
+    dec = np.float32(config.occupied_cells_decrease_factor)
 
     h_view = h.T if transposed else h
     c_view = c.T if transposed else c
@@ -75,9 +76,9 @@ def _segment_update(config: GroundGridConfig, h, c, fixed, lo, hi, transposed, d
     # confidence decay (GroundSegmentation.cpp:462-464): per-cell, independent
     # of heights and of neighbors -> computable for the whole segment upfront.
     d2 = ((fixed - c_idx).astype(jnp.float32) ** 2 + (ys - c_idx).astype(jnp.float32) ** 2) * res2
-    decay_applies = d2 > jnp.float32(config.min_dist_squared)
+    decay_applies = d2 > np.float32(config.min_dist_squared)
     occ = bc[1]
-    c_dec = jnp.where(decay_applies, jnp.maximum(occ - occ / dec, jnp.float32(0.001)), occ)
+    c_dec = jnp.where(decay_applies, jnp.maximum(occ - occ / dec, np.float32(0.001)), occ)
     c_new_row = jnp.where(in_seg, c_dec, occ)
 
     if descending:
@@ -142,7 +143,7 @@ def spiral_interpolation(config: GroundGridConfig, ground, groundpatch, base_z):
     """
     c_idx = config.center_cell
 
-    ground = ground.at[c_idx, c_idx].set(jnp.float32(base_z))
+    ground = ground.at[c_idx, c_idx].set(jnp.asarray(base_z, jnp.float32))
     groundpatch = groundpatch.at[c_idx, c_idx].set(1.0)
 
     def ring(carry, i):

@@ -24,11 +24,12 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from groundgrid_tpu.config import GroundGridConfig
 
-FLT_MAX = jnp.float32(jnp.finfo(jnp.float32).max)
-FLT_TINY = jnp.float32(jnp.finfo(jnp.float32).tiny)  # C++ FLT_MIN
+FLT_MAX = np.float32(np.finfo(np.float32).max)
+FLT_TINY = np.float32(np.finfo(np.float32).tiny)  # C++ FLT_MIN
 
 
 class RasterLayers(NamedTuple):
@@ -64,8 +65,8 @@ def bin_points(config: GroundGridConfig, center, x, y, z, rings, valid, origin) 
     but are still classified at the end (re-added, :150).
     """
     n = config.cell_count
-    res = jnp.float32(config.resolution)
-    half = jnp.float32(config.half_length)
+    res = np.float32(config.resolution)
+    half = np.float32(config.half_length)
     gi0 = jnp.floor(((center[0] + half) - x) / res).astype(jnp.int32)
     gi1 = jnp.floor(((center[1] + half) - y) / res).astype(jnp.int32)
     inmap = (gi0 >= 0) & (gi0 < n) & (gi1 >= 0) & (gi1 < n) & valid
@@ -74,7 +75,7 @@ def bin_points(config: GroundGridConfig, center, x, y, z, rings, valid, origin) 
     dy = y - origin[1]
     sqdist = dx * dx + dy * dy
     ignored = inmap & (
-        (rings > config.max_ring) | (sqdist < jnp.float32(config.min_dist_squared))
+        (rings > config.max_ring) | (sqdist < np.float32(config.min_dist_squared))
     )
     return Binning(gi0=gi0, gi1=gi1, cell=cell, inmap=inmap, ignored=ignored, sqdist=sqdist)
 
@@ -97,14 +98,21 @@ def rasterize(
     pdc = jnp.where(accept, pd - shift, 0.0)
 
     cell = binning.cell
-    zeros = jnp.zeros((n2 + 1,), jnp.float32)
-    points_raw = zeros.at[cell].add(binning.inmap.astype(jnp.float32))
-    count = zeros.at[cell].add(acc)
-    sum_z = zeros.at[cell].add(jnp.where(accept, z, 0.0))
-    sum_pdc = zeros.at[cell].add(pdc)
-    sum_pdc2 = zeros.at[cell].add(pdc * pdc)
+    # ONE multi-column scatter-add: device profiling shows the combined form
+    # costs ~the same as a single-column scatter, i.e. 5x cheaper than five.
+    vals = jnp.stack(
+        [
+            binning.inmap.astype(jnp.float32),
+            acc,
+            jnp.where(accept, z, 0.0),
+            pdc,
+            pdc * pdc,
+        ],
+        axis=-1,
+    )
+    sums = jnp.zeros((n2 + 1, 5), jnp.float32).at[cell].add(vals)
 
-    minv = jnp.where(accept, z - jnp.float32(1e-4), FLT_MAX)  # epsilon (:308)
+    minv = jnp.where(accept, z - np.float32(1e-4), FLT_MAX)  # epsilon (:308)
     maxv = jnp.where(accept, z, FLT_TINY)  # init FLT_MIN quirk (:73)
     min_gh = jnp.full((n2 + 1,), FLT_MAX, jnp.float32).at[cell].min(minv)
     max_gh = jnp.full((n2 + 1,), FLT_TINY, jnp.float32).at[cell].max(maxv)
@@ -112,11 +120,13 @@ def rasterize(
     def grid(a):
         return a[:n2].reshape(n, n)
 
-    points_raw = grid(points_raw)
-    count = grid(count)
-    sum_z = grid(sum_z)
-    sum_pdc = grid(sum_pdc)
-    sum_pdc2 = grid(sum_pdc2)
+    # one transpose instead of five strided column extractions
+    sums_t = sums[:n2].T
+    points_raw = sums_t[0].reshape(n, n)
+    count = sums_t[1].reshape(n, n)
+    sum_z = sums_t[2].reshape(n, n)
+    sum_pdc = sums_t[3].reshape(n, n)
+    sum_pdc2 = sums_t[4].reshape(n, n)
 
     safe = jnp.maximum(count, 1.0)
     mean_pdc = sum_pdc / safe

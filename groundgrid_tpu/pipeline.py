@@ -24,6 +24,7 @@ from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from groundgrid_tpu.config import GroundGridConfig
 from groundgrid_tpu.core import classify as classifylib
@@ -39,19 +40,23 @@ from groundgrid_tpu.core.grid import GridState
 class Scan(NamedTuple):
     """One LiDAR scan + ego pose, padded to static shapes.
 
-    points: (3, P) f32 sensor-frame xyz, structure-of-arrays (x/y/z rows);
-            padding columns arbitrary. SoA keeps every per-point op on the
-            TPU fast path -- (P, 3) minor-dim layouts cost ~ms relayouts.
+    px/py/pz: (P,) f32 sensor-frame coordinates as three separate flat
+            arrays. Fully separate 1-D arrays keep every per-point op on the
+            TPU fast path: (P, 3) AoS layouts and even (3, P) row slices
+            trigger multi-ms serial relayout copies on this backend.
     rings:  (P,) i32 ring channel; the SemanticKITTI harness packs the
             semantic label here (scripts/kitti_data_publisher.py:123-145),
             and it rides through the pipeline untouched for evaluation.
-    valid:  (P,) bool padding mask.
+    valid:  (P,) i32 padding mask (1 = real point). Not bool: packed-pred
+            layouts cost serial relayouts on this backend.
     t_map_velo: (4, 4) f32 sensor->map pose (cloud transform + origin).
     t_map_base: (4, 4) f32 base_link->map pose (spiral seed height).
     t_base_map: (4, 4) f32 map->base_link (exposed-cell ground init).
     """
 
-    points: jax.Array
+    px: jax.Array
+    py: jax.Array
+    pz: jax.Array
     rings: jax.Array
     valid: jax.Array
     t_map_velo: jax.Array
@@ -60,11 +65,18 @@ class Scan(NamedTuple):
 
 
 class StepOutput(NamedTuple):
-    """Per-scan results. ``labels``: 49 ground / 99 non-ground / 0 dropped."""
+    """Per-scan results. ``labels``: 49 ground / 99 non-ground / 0 dropped.
+
+    All fields are flat (P,) arrays; outlier is int32 (1 = occlusion outlier,
+    force-labeled ground) rather than bool because packed-pred outputs cost
+    serial relayouts on this backend. x/y/z are the map-frame coordinates.
+    """
 
     labels: jax.Array  # (P,) int32
-    outlier: jax.Array  # (P,) bool (occlusion outliers, force-ground)
-    points_map: jax.Array  # (3, P) f32 map-frame points, SoA (for consumers/viz)
+    outlier: jax.Array  # (P,) int32 0/1
+    x: jax.Array  # (P,) f32 map frame
+    y: jax.Array
+    z: jax.Array
 
 
 class AuxLayers(NamedTuple):
@@ -94,8 +106,12 @@ def _validate(config: GroundGridConfig) -> None:
         )
 
 
-def make_step_fn(config: GroundGridConfig, with_aux: bool = False):
-    """Build the *unjitted* per-scan step (for vmap/shard_map composition)."""
+def make_step_fn(config: GroundGridConfig, with_aux: bool = False, _salt: int = 0):
+    """Build the *unjitted* per-scan step (for vmap/shard_map composition).
+
+    ``_salt`` injects a no-op constant so each value produces a distinct
+    program for the compile service -- see :func:`compile_step_verified`.
+    """
     _validate(config)
     tables = detectlib.make_tables(config)
 
@@ -111,17 +127,19 @@ def make_step_fn(config: GroundGridConfig, with_aux: bool = False):
 
     def step_impl(state: GridState, scan: Scan):
         # --- transform to map frame (GroundGridNodelet.cpp:139-184) ---
-        x, y, z = tf.transform_points_soa(
-            scan.t_map_velo, scan.points[0], scan.points[1], scan.points[2]
-        )
+        x, y, z = tf.transform_points_soa(scan.t_map_velo, scan.px, scan.py, scan.pz)
         origin = scan.t_map_velo[:3, 3]
+        if _salt:
+            # traced no-op (adds f32 +0.0) that cannot fold at trace time:
+            # distinct _salt -> distinct program for the compile service/cache
+            origin = origin + (scan.rings[_salt % config.max_points] * 0).astype(jnp.float32)
 
         # --- grid relocation (GroundGrid.cpp:83-147) ---
         state = gridlib.move(config, state, origin[:2], scan.t_base_map)
 
         # --- binning ---
         binning = rasterlib.bin_points(
-            config, state.center, x, y, z, scan.rings, scan.valid, origin
+            config, state.center, x, y, z, scan.rings, scan.valid > 0, origin
         )
 
         # --- outlier ray-march against previous terrain (cpp:242-275) ---
@@ -145,13 +163,14 @@ def make_step_fn(config: GroundGridConfig, with_aux: bool = False):
 
         # --- classification (cpp:146-189) ---
         result = classifylib.classify(
-            config, binning, z, ground, raster.variance, outlier
+            config, binning, z, ground, raster.variance, outlier,
+            with_counts=with_aux,
         )
 
         new_state = GridState(ground=ground, groundpatch=groundpatch, center=state.center)
         out = StepOutput(
-            labels=result.labels, outlier=outlier,
-            points_map=jnp.stack([x, y, z], axis=0),
+            labels=result.labels, outlier=outlier.astype(jnp.int32),
+            x=x, y=y, z=z,
         )
         if not with_aux:
             return new_state, out
@@ -173,14 +192,85 @@ def make_step_fn(config: GroundGridConfig, with_aux: bool = False):
     return step_impl
 
 
-def make_step(config: GroundGridConfig, with_aux: bool = False):
+@functools.lru_cache(maxsize=32)
+def make_step(config: GroundGridConfig, with_aux: bool = False, _salt: int = 0):
     """Build the jitted per-scan step for ``config``.
 
     Returns ``step(state, scan) -> (state', StepOutput[, AuxLayers])``.
     The grid state buffers are donated, so steady-state streaming does not
-    reallocate the (N, N) layers.
+    reallocate the (N, N) layers. Cached per (config, with_aux) so multiple
+    drivers share one compiled executable.
     """
-    return jax.jit(make_step_fn(config, with_aux), donate_argnums=(0,))
+    return jax.jit(make_step_fn(config, with_aux, _salt), donate_argnums=(0,))
+
+
+def compile_step_verified(
+    config: GroundGridConfig,
+    example_state: GridState,
+    example_scan: Scan,
+    with_aux: bool = False,
+    attempts: int = 4,
+    threshold_ms: float = 10.0,
+):
+    """Compile the step and *verify its throughput*, re-rolling deopt binaries.
+
+    The axon TPU compile service non-deterministically returns either a fully
+    optimized executable (sub-ms step) or a de-optimized one that serializes
+    the vectorized point ops (~40 ms -- a 500x regression, observed ~50% of
+    compiles). This probe times a real step after compilation and recompiles
+    with a different program salt until the executable is fast or ``attempts``
+    are exhausted, keeping the best one. On healthy toolchains the first probe
+    passes and this is a single warm-up step.
+
+    Returns ``(step, probe_ms)``. The example state is consumed (donated).
+    """
+    import hashlib
+    import os
+    import time as _time
+
+    from groundgrid_tpu.utils.compilation_cache import default_cache_dir
+
+    # salt order: a previously verified-good salt first (its binary is pinned
+    # in the persistent cache), then fresh salts; time-based salts as a last
+    # resort so retries don't re-hit cached deopt binaries.
+    key = hashlib.sha1(f"{config!r}|{with_aux}".encode()).hexdigest()[:16]
+    hint_path = os.path.join(default_cache_dir(), f"salt_hint_{key}")
+    salts = []
+    try:
+        with open(hint_path) as f:
+            salts.append(int(f.read().strip()))
+    except (OSError, ValueError):
+        pass
+    salts += [s for s in range(attempts) if s not in salts]
+    salts += [1000 + (int(_time.time()) + i) % 100000 for i in range(2)]
+    salts = salts[: attempts + 2]
+
+    best = None
+    best_ms = float("inf")
+    state = example_state
+    probe_iters = 12  # pipelined: per-call host sync would swamp a 1-shot probe
+    for salt in salts:
+        step = make_step(config, with_aux, _salt=salt)
+        out = step(state, example_scan)
+        state = out[0]
+        jax.block_until_ready(out[1].labels)
+        t0 = _time.perf_counter()
+        for _ in range(probe_iters):
+            out = step(state, example_scan)
+            state = out[0]
+        jax.block_until_ready(out[1].labels)
+        ms = (_time.perf_counter() - t0) * 1000.0 / probe_iters
+        if ms < best_ms:
+            best, best_ms = step, ms
+        if ms < threshold_ms:
+            try:
+                os.makedirs(default_cache_dir(), exist_ok=True)
+                with open(hint_path, "w") as f:
+                    f.write(str(salt))
+            except OSError:
+                pass
+            break
+    return best, best_ms
 
 
 def init_state(config: GroundGridConfig, t_map_velo) -> GridState:
@@ -212,16 +302,18 @@ def pad_scan(
         p, r, count = p[:cap], r[:cap], cap
     pts = np.zeros((3, cap), dtype=np.float32)
     rng = np.zeros((cap,), dtype=np.int32)
-    msk = np.zeros((cap,), dtype=bool)
+    msk = np.zeros((cap,), dtype=np.int32)
     pts[:, :count] = p[:, :3].T
     rng[:count] = r
-    msk[:count] = True
+    msk[:count] = 1
 
     t_map_velo = np.asarray(t_map_velo, dtype=np.float64)
     if t_map_base is None or t_base_map is None:
         _, t_map_base, t_base_map = tf.scan_poses(t_map_velo)
     return Scan(
-        points=jnp.asarray(pts),
+        px=jnp.asarray(pts[0]),
+        py=jnp.asarray(pts[1]),
+        pz=jnp.asarray(pts[2]),
         rings=jnp.asarray(rng),
         valid=jnp.asarray(msk),
         t_map_velo=jnp.asarray(t_map_velo.astype(np.float32)),

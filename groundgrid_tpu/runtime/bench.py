@@ -55,6 +55,9 @@ def run_benchmark(
 
     from groundgrid_tpu.config import GroundGridConfig
     from groundgrid_tpu.pipeline import init_state, make_step
+    from groundgrid_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     config = GroundGridConfig(resolution=resolution, dimension=dimension)
     platform = jax.devices()[0].platform
@@ -66,9 +69,16 @@ def run_benchmark(
     _log(f"bench: {n_points} valid points/scan, {n_distinct} distinct scans")
 
     if batch == 1:
-        step = make_step(config)
-        state = init_state(config, poses[0].astype(np.float32))
         scans = [jax.device_put(s) for s in scans]
+        state = init_state(config, poses[0].astype(np.float32))
+        if platform == "tpu":
+            from groundgrid_tpu.pipeline import compile_step_verified
+
+            step, probe_ms = compile_step_verified(config, state, scans[0])
+            _log(f"bench: step executable probe {probe_ms:.2f} ms")
+        else:
+            step = make_step(config)
+        state = init_state(config, poses[0].astype(np.float32))
         for i in range(warmup):
             state, out = step(state, scans[i % n_distinct])
         jax.block_until_ready(out.labels)

@@ -34,33 +34,66 @@ def _config(args):
     )
 
 
+def _parse_sequences(spec: str) -> list[str]:
+    """'00' | '3' | '00-10' | '00,02,05' -> list of zero-padded ids."""
+    out: list[str] = []
+    for part in spec.split(","):
+        part = part.strip()
+        if "-" in part:
+            lo, hi = part.split("-")
+            out.extend(f"{s:02d}" for s in range(int(lo), int(hi) + 1))
+        else:
+            out.append(f"{int(part):02d}")
+    return out
+
+
 def cmd_evaluate(args) -> int:
+    """Lock-step evaluation over one or more sequences.
+
+    Single sequence reproduces KITTIEvaluate.launch; a range like
+    ``--sequence 00-10`` runs the aggregate multi-sequence evaluation
+    (BASELINE.json config 3), resetting the grid between sequences but
+    accumulating one confusion table.
+    """
     from groundgrid_tpu.data.semantickitti import SemanticKITTI
+    from groundgrid_tpu.data.native_loader import PrefetchingLoader
     from groundgrid_tpu.eval.metrics import Evaluator
     from groundgrid_tpu.runtime.driver import StreamingDriver
 
-    ds = SemanticKITTI(args.directory, args.sequence)
+    sequences = _parse_sequences(str(args.sequence))
     driver = StreamingDriver(_config(args))
-    ev = Evaluator(ds.sequence)
-    for rec in ds.iter_scans(args.start, args.end):
-        res = driver.process(rec)
-        ev.add_cloud(res.labels, rec.labels)
-        if ev.clouds % 500 == 0:  # reference cadence (:123-124)
-            print(ev.format_statistics(), flush=True)
+    ev = Evaluator(sequences[0] if len(sequences) == 1 else ",".join(sequences))
+    per_seq = {}
+    for seq in sequences:
+        ds = SemanticKITTI(args.directory, seq)
+        driver.reset()
+        seq_ev = Evaluator(seq)
+        records = (
+            PrefetchingLoader(ds, cap=args.max_points)
+            if args.native_loader
+            else ds.iter_scans(args.start, args.end)
+        )
+        for rec in records:
+            res = driver.process(rec)
+            if res is None:
+                continue
+            ev.add_cloud(res.labels, rec.labels)
+            seq_ev.add_cloud(res.labels, rec.labels)
+            if ev.clouds % 500 == 0:  # reference cadence (:123-124)
+                print(ev.format_statistics(), flush=True)
+        per_seq[seq] = seq_ev.compute().as_dict()
     print(ev.format_statistics(), flush=True)
     m = ev.compute()
-    print(
-        json.dumps(
-            dict(
-                sequence=ds.sequence,
-                scans=ev.clouds,
-                avg_ms=driver.stats.avg_ms,
-                scans_per_sec=driver.stats.scans_per_sec,
-                **m.as_dict(),
-            )
-        ),
-        flush=True,
+    payload = dict(
+        sequences=sequences,
+        scans=ev.clouds,
+        avg_ms=driver.stats.avg_ms,
+        scans_per_sec=driver.stats.scans_per_sec,
+        **m.as_dict(),
     )
+    if len(sequences) > 1:
+        payload["per_sequence"] = per_seq
+    print(json.dumps(payload), flush=True)
     return 0
 
 
@@ -105,7 +138,9 @@ def main(argv=None) -> int:
 
     p_eval = sub.add_parser("evaluate", help="lock-step sequence evaluation")
     p_eval.add_argument("--directory", required=True, help="SemanticKITTI root")
-    p_eval.add_argument("--sequence", default="00")
+    p_eval.add_argument("--sequence", default="00", help="'00', '00-10' or '00,05'")
+    p_eval.add_argument("--native-loader", action="store_true",
+                        help="use the C++ prefetching loader")
     _add_common(p_eval)
     p_eval.set_defaults(func=cmd_evaluate)
 

@@ -19,8 +19,11 @@ chrono spans + avg scans/sec logs, GroundGridNodelet.cpp:186-209).
 from __future__ import annotations
 
 import dataclasses
+import logging
 import time
 from typing import Callable, Iterable, Iterator, Optional
+
+log = logging.getLogger("groundgrid_tpu.driver")
 
 import jax
 import numpy as np
@@ -65,15 +68,55 @@ class StreamingDriver:
     """One ego vehicle / one sequence; owns the grid state."""
 
     def __init__(self, config: GroundGridConfig, with_aux: bool = False):
+        from groundgrid_tpu.utils.compilation_cache import enable_compilation_cache
+
+        enable_compilation_cache()
         self.config = config
         self.with_aux = with_aux
-        self.step = make_step(config, with_aux=with_aux)
+        # compiled lazily on the first scan: on TPU the executable is probed
+        # and re-rolled if the compile service returned a de-optimized binary
+        # (see pipeline.compile_step_verified)
+        self.step = None
         self.state: GridState | None = None
         self.stats = TimingStats()
+
+    def _compile(self, rec: ScanRecord) -> None:
+        import jax
+
+        from groundgrid_tpu.pipeline import compile_step_verified
+
+        if jax.default_backend() == "tpu":
+            probe_state = init_state(self.config, rec.t_map_velo.astype(np.float32))
+            scan = self._make_scan(rec)
+            self.step, probe_ms = compile_step_verified(
+                self.config, probe_state, scan, with_aux=self.with_aux
+            )
+            log.info("compiled step executable: %.2f ms/step probe", probe_ms)
+        else:
+            self.step = make_step(self.config, with_aux=self.with_aux)
 
     def reset(self) -> None:
         self.state = None
         self.stats = TimingStats()
+
+    def reconfigure(self, config: GroundGridConfig) -> None:
+        """Swap runtime parameters, keeping the grid state when compatible.
+
+        The TPU-native equivalent of the reference's dynamic_reconfigure
+        callback (GroundGridNodelet.cpp:299-302): a config change rebuilds the
+        jitted pipeline (XLA caches each compiled config, so toggling back is
+        cheap). Grid geometry changes reset the state, as re-creating the map
+        does in the reference.
+        """
+        keep_state = (
+            self.state is not None
+            and config.cell_count == self.config.cell_count
+            and config.max_points == self.config.max_points
+        )
+        self.config = config
+        self.step = None  # recompiled (and re-probed) on the next scan
+        if not keep_state:
+            self.state = None
 
     def _make_scan(self, rec: ScanRecord) -> Scan:
         import jax.numpy as jnp
@@ -83,18 +126,30 @@ class StreamingDriver:
         cap = cfg.max_points
         pts = np.zeros((3, cap), np.float32)  # SoA (see pipeline.Scan)
         rng = np.zeros((cap,), np.int32)
-        msk = np.zeros((cap,), bool)
+        msk = np.zeros((cap,), np.int32)
         count = min(rec.points.shape[0], cap)
         pts[:, :count] = rec.points[:count, :3].T
         rng[:count] = rec.labels[:count]
-        msk[:count] = True
+        msk[:count] = 1
         return Scan(
-            points=jnp.asarray(pts), rings=jnp.asarray(rng), valid=jnp.asarray(msk),
+            px=jnp.asarray(pts[0]), py=jnp.asarray(pts[1]), pz=jnp.asarray(pts[2]),
+            rings=jnp.asarray(rng), valid=jnp.asarray(msk),
             t_map_velo=jnp.asarray(mv), t_map_base=jnp.asarray(mb), t_base_map=jnp.asarray(bm),
         )
 
-    def process(self, rec: ScanRecord) -> ScanResult:
-        """Run one scan (odometry update + segmentation), blocking."""
+    def process(self, rec: ScanRecord) -> Optional[ScanResult]:
+        """Run one scan (odometry update + segmentation), blocking.
+
+        Degraded-mode semantics as explicit states (the reference drops scans
+        when transforms are unavailable, GroundGridNodelet.cpp:124-136):
+        a record with a non-finite pose is dropped (returns None) and the
+        grid state is left untouched.
+        """
+        if not np.isfinite(rec.t_map_velo).all():
+            log.warning("dropping scan %d: non-finite pose", rec.index)
+            return None
+        if self.step is None:
+            self._compile(rec)
         t0 = time.perf_counter()
         if self.state is None:
             self.state = init_state(self.config, rec.t_map_velo.astype(np.float32))
@@ -106,7 +161,7 @@ class StreamingDriver:
             self.state, step_out = out
             aux = None
         labels = np.asarray(jax.device_get(step_out.labels))
-        outlier = np.asarray(jax.device_get(step_out.outlier))
+        outlier = np.asarray(jax.device_get(step_out.outlier)).astype(bool)
         ms = (time.perf_counter() - t0) * 1000.0
         self.stats.update(ms)
 
@@ -138,6 +193,8 @@ class StreamingDriver:
     ) -> Iterator[ScanResult]:
         for rec in records:
             result = self.process(rec)
+            if result is None:
+                continue  # dropped scan (degraded mode)
             if callback is not None:
                 callback(result)
             yield result

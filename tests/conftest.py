@@ -7,10 +7,20 @@ Must run before the first ``import jax`` anywhere in the test session.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard override: the surrounding environment may preset JAX_PLATFORMS to a
+# real accelerator AND import jax at interpreter startup (sitecustomize), so
+# env vars alone are too late -- use jax.config before any backend is used.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert len(jax.devices()) == 8, (
+    f"tests need the 8-device virtual CPU mesh, got {jax.devices()}"
+)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

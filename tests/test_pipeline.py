@@ -1,0 +1,98 @@
+"""End-to-end pipeline: full jitted step vs golden engine across scans.
+
+Unlike the stage tests (identical inputs per stage), this exercises the whole
+chain including the float32 transform, grid relocation between scans and the
+recurrent state. The only permitted divergence is cell-boundary jitter from
+f32-vs-f64 index arithmetic, so label agreement must be near-total.
+"""
+
+import numpy as np
+import pytest
+import jax
+
+from groundgrid_tpu.core import transforms as tf
+from groundgrid_tpu.golden import GoldenGroundGrid
+from groundgrid_tpu.pipeline import init_state, make_step, pad_scan
+
+
+@pytest.fixture(scope="module")
+def jit_step(small_config):
+    return make_step(small_config)
+
+
+def test_pipeline_matches_golden_e2e(small_config, small_scans, jit_step):
+    cfg = small_config
+    golden = GoldenGroundGrid(cfg)
+    state = None
+    total = 0
+    mismatches = 0
+    for pts_velo, labels, T in small_scans:
+        mv, mb, bm = tf.scan_poses(T)
+        # golden consumes f32 map-frame points computed exactly like the pipeline
+        x, y, z = tf.transform_points_soa(
+            np.asarray(mv), pts_velo[:, 0], pts_velo[:, 1], pts_velo[:, 2]
+        )
+        pts_map = np.stack([x, y, z], axis=-1)
+        golden.update_odom(np.asarray(T, np.float64), np.asarray(bm, np.float64))
+        want = golden.filter_cloud(
+            pts_map, labels, np.asarray(mv[:3, 3]), np.asarray(mb, np.float64)
+        )
+
+        scan = pad_scan(cfg, pts_velo, labels, T)
+        if state is None:
+            state = init_state(cfg, np.asarray(T, np.float32))
+        state, out = jit_step(state, scan)
+        got = np.asarray(out.labels)[: len(want)]
+
+        total += len(want)
+        mismatches += int((got != want).sum())
+
+    rate = mismatches / total
+    assert rate < 2e-3, f"label mismatch rate {rate:.4%} ({mismatches}/{total})"
+
+
+def test_pipeline_deterministic(small_config, small_scans, jit_step):
+    """Same input twice -> bitwise-identical outputs AND state.
+
+    The reference explicitly tolerates data races (unsynchronized accumulator
+    writes, SURVEY.md 2.2); determinism is this engine's contract.
+    """
+    cfg = small_config
+    pts, labels, T = small_scans[0]
+    scan = pad_scan(cfg, pts, labels, T)
+
+    outs = []
+    states = []
+    for _ in range(2):
+        state = init_state(cfg, np.asarray(T, np.float32))
+        state, out = jit_step(state, scan)
+        outs.append(np.asarray(out.labels))
+        states.append(jax.device_get(state))
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_array_equal(np.asarray(states[0].ground), np.asarray(states[1].ground))
+    np.testing.assert_array_equal(
+        np.asarray(states[0].groundpatch), np.asarray(states[1].groundpatch)
+    )
+
+
+def test_padding_points_inert(small_config, small_scans, jit_step):
+    """Padded (invalid) points must not affect results."""
+    cfg = small_config
+    pts, labels, T = small_scans[0]
+    scan_a = pad_scan(cfg, pts, labels, T)
+    # poison the padding region with garbage
+    n_valid = len(pts)
+    def poison(a):
+        a = np.asarray(a).copy()
+        a[n_valid:] = 1e6
+        return a
+    scan_b = scan_a._replace(px=poison(scan_a.px), py=poison(scan_a.py), pz=poison(scan_a.pz))
+
+    sa = init_state(cfg, np.asarray(T, np.float32))
+    sb = init_state(cfg, np.asarray(T, np.float32))
+    sa, oa = jit_step(sa, scan_a)
+    sb, ob = jit_step(sb, scan_b)
+    np.testing.assert_array_equal(
+        np.asarray(oa.labels)[:n_valid], np.asarray(ob.labels)[:n_valid]
+    )
+    np.testing.assert_array_equal(np.asarray(sa.ground), np.asarray(sb.ground))

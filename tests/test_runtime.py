@@ -1,0 +1,122 @@
+"""Streaming driver, checkpoint/resume, fleet sharding, viz export."""
+
+import numpy as np
+import pytest
+import jax
+
+from groundgrid_tpu.config import GroundGridConfig
+from groundgrid_tpu.data.semantickitti import SemanticKITTI, write_sequence
+from groundgrid_tpu.data.synthetic import synthetic_sequence
+from groundgrid_tpu.runtime.checkpoint import load_state, save_state
+from groundgrid_tpu.runtime.driver import StreamingDriver
+
+
+@pytest.fixture(scope="module")
+def tiny_config():
+    return GroundGridConfig(
+        dimension=24.0, resolution=0.5, max_points=4096, ray_steps=28,
+        max_outlier_candidates=256,
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("kitti")
+    scans = list(synthetic_sequence(5, seed=11, n_beams=12, n_azimuth=256, step_m=1.0))
+    write_sequence(tmp, 0, [(p, l, T) for p, l, T in scans])
+    return SemanticKITTI(tmp, 0)
+
+
+def test_streaming_and_checkpoint_resume(tiny_config, tiny_dataset, tmp_path):
+    """state(t) + scans(t+1..) == uninterrupted run, bit for bit."""
+    driver = StreamingDriver(tiny_config)
+    full = [driver.process(r) for r in tiny_dataset.iter_scans()]
+
+    driver2 = StreamingDriver(tiny_config)
+    for rec in list(tiny_dataset.iter_scans())[:2]:
+        driver2.process(rec)
+    ckpt = str(tmp_path / "state.npz")
+    save_state(ckpt, driver2.state, 2, tiny_config)
+
+    driver3 = StreamingDriver(tiny_config)
+    driver3.state, next_idx, _ = load_state(ckpt, tiny_config)
+    assert next_idx == 2
+    resumed = [driver3.process(r) for r in list(tiny_dataset.iter_scans())[2:]]
+
+    for a, b in zip(full[2:], resumed):
+        np.testing.assert_array_equal(a.labels, b.labels)
+
+
+def test_checkpoint_geometry_mismatch(tiny_config, tmp_path):
+    driver = StreamingDriver(tiny_config)
+    rec = next(iter_scans_once(tiny_config))
+    driver.process(rec)
+    ckpt = str(tmp_path / "s.npz")
+    save_state(ckpt, driver.state, 1, tiny_config)
+    other = GroundGridConfig(dimension=48.0, resolution=0.5, max_points=4096, ray_steps=64)
+    with pytest.raises(ValueError, match="checkpoint grid"):
+        load_state(ckpt, other)
+
+
+def iter_scans_once(cfg):
+    from groundgrid_tpu.data.semantickitti import ScanRecord
+
+    for pts, lbl, T in synthetic_sequence(1, seed=3, n_beams=8, n_azimuth=128):
+        yield ScanRecord(index=0, timestamp=0.0,
+                         points=np.concatenate([pts, np.zeros((len(pts), 1), np.float32)], 1),
+                         labels=lbl, t_map_velo=T)
+
+
+def test_fleet_step_8_devices(tiny_config):
+    """Fleet shard_map over the 8 virtual CPU devices (BASELINE config 5)."""
+    from groundgrid_tpu.parallel.sharding import (
+        make_fleet_step, make_mesh, shard_fleet_pytree,
+    )
+    from groundgrid_tpu.pipeline import init_state, pad_scan
+
+    n_dev = len(jax.devices())
+    assert n_dev == 8, "conftest must provide 8 virtual devices"
+    mesh = make_mesh()
+    fleet = make_fleet_step(tiny_config, mesh)
+
+    scans, states = [], []
+    for k, (pts, lbl, T) in enumerate(
+        synthetic_sequence(n_dev, seed=5, n_beams=8, n_azimuth=128)
+    ):
+        scans.append(pad_scan(tiny_config, pts, lbl, T))
+        states.append(init_state(tiny_config, T.astype(np.float32)))
+    batched_scans = jax.tree.map(lambda *xs: np.stack(xs), *scans)
+    batched_states = jax.tree.map(lambda *xs: np.stack(xs), *states)
+    batched_scans = shard_fleet_pytree(batched_scans, mesh)
+    batched_states = shard_fleet_pytree(batched_states, mesh)
+
+    new_states, outs, summary = fleet(batched_states, batched_scans)
+    jax.block_until_ready(summary)
+    assert outs.labels.shape[0] == n_dev
+    total = int(summary.ground_points) + int(summary.nonground_points)
+    assert total > 0
+
+    # fleet results must equal per-vehicle sequential results
+    from groundgrid_tpu.pipeline import make_step
+
+    step = make_step(tiny_config)
+    labels_b = np.asarray(outs.labels)
+    for k in range(n_dev):
+        st_k = init_state(tiny_config, np.asarray(scans[k].t_map_velo))
+        _, out_k = step(st_k, scans[k])
+        np.testing.assert_array_equal(labels_b[k], np.asarray(out_k.labels))
+
+
+def test_viz_export(tiny_config, tiny_dataset, tmp_path):
+    from groundgrid_tpu.runtime.viz import export_layers, terrain_artifact
+
+    driver = StreamingDriver(tiny_config, with_aux=True)
+    res = driver.process(next(tiny_dataset.iter_scans()))
+    paths = export_layers(res.aux, str(tmp_path))
+    assert len(paths) == len(res.aux)
+    for p in paths:
+        with open(p, "rb") as f:
+            assert f.read(8) == b"\x89PNG\r\n\x1a\n"
+    art = terrain_artifact(res.aux["ground"], res.aux["points_raw"])
+    assert art.shape == (tiny_config.cell_count, tiny_config.cell_count, 3)
+    assert np.isfinite(art[..., 0]).all()
