@@ -80,7 +80,9 @@ def make_sharded_detect(config: GroundGridConfig, mesh: Mesh, axis: str = "space
 
     def local(points, variance, min_gh, ground, groundpatch):
         i = lax.axis_index(axis)
-        local_tables = jax.tree.map(lambda t: t[i], tables_stacked)
+        # jnp.asarray at trace time embeds the numpy stacks as literals;
+        # dynamic row-select picks this shard's block
+        local_tables = jax.tree.map(lambda t: jnp.asarray(t)[i], tables_stacked)
 
         # stencil inputs need halos; per-cell state layers don't
         pts_h = _exchange_halo(points, axis)
