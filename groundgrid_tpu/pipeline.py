@@ -249,16 +249,18 @@ def compile_step_verified(
     best_ms = float("inf")
     state = example_state
     probe_iters = 12  # pipelined: per-call host sync would swamp a 1-shot probe
+    import numpy as _np
+
     for salt in salts:
         step = make_step(config, with_aux, _salt=salt)
         out = step(state, example_scan)
         state = out[0]
-        jax.block_until_ready(out[1].labels)
-        t0 = _time.perf_counter()
+        _ = _np.asarray(out[1].labels)  # force completion (block_until_ready
+        t0 = _time.perf_counter()       # can return before deferred work runs)
         for _ in range(probe_iters):
             out = step(state, example_scan)
             state = out[0]
-        jax.block_until_ready(out[1].labels)
+        _ = _np.asarray(out[1].labels)
         ms = (_time.perf_counter() - t0) * 1000.0 / probe_iters
         if ms < best_ms:
             best, best_ms = step, ms
