@@ -102,8 +102,18 @@ def cmd_playback(args) -> int:
     from groundgrid_tpu.runtime.driver import StreamingDriver
 
     ds = SemanticKITTI(args.directory, args.sequence)
-    driver = StreamingDriver(_config(args), with_aux=bool(args.export_layers))
+    want_aux = bool(args.export_layers or args.export_terrain)
+    driver = StreamingDriver(_config(args), with_aux=want_aux)
+    prev_ts = None
     for res in driver.run(ds.iter_scans(args.start, args.end)):
+        if args.rate > 0 and prev_ts is not None:
+            # real-time pacing like the player's sim clock
+            # (kitti_data_publisher.py:80-109): sleep off the remaining
+            # scan-interval / rate budget.
+            budget = (res.timestamp - prev_ts) / args.rate - res.wall_ms / 1000.0
+            if budget > 0:
+                time.sleep(budget)
+        prev_ts = res.timestamp
         print(
             f"scan {res.index}: {res.n_points} pts "
             f"ground={int((res.labels == 49).sum())} "
@@ -116,6 +126,14 @@ def cmd_playback(args) -> int:
             from groundgrid_tpu.runtime.viz import export_layers
 
             export_layers(res.aux, args.export_layers, prefix=f"{res.index:06d}_")
+        if args.export_terrain and res.index % args.export_every == 0:
+            from groundgrid_tpu.runtime.viz import save_terrain_artifact
+
+            center = driver.state.center
+            save_terrain_artifact(
+                args.export_terrain, res.aux["ground"], res.aux["points_raw"],
+                res.index, float(center[0]), float(center[1]),
+            )
     return 0
 
 
@@ -148,7 +166,10 @@ def main(argv=None) -> int:
     p_play.add_argument("--directory", required=True)
     p_play.add_argument("--sequence", default="00")
     p_play.add_argument("--export-layers", default="", help="dir for layer PNGs")
+    p_play.add_argument("--export-terrain", default="", help="dir for terrain artifacts")
     p_play.add_argument("--export-every", type=int, default=100)
+    p_play.add_argument("--rate", type=float, default=0.0,
+                        help="real-time pacing factor (0 = as fast as possible)")
     _add_common(p_play)
     p_play.set_defaults(func=cmd_playback)
 

@@ -85,6 +85,34 @@ def export_layers(layers: dict, out_dir: str, prefix: str = "") -> list[str]:
     return paths
 
 
+def render_segmented_cloud(
+    x: np.ndarray,
+    y: np.ndarray,
+    labels: np.ndarray,
+    center_xy,
+    extent: float = 60.0,
+    size: int = 720,
+) -> np.ndarray:
+    """Top-down image of a segmented cloud (the RViz display substitute).
+
+    The reference visualizes the segmented cloud in RViz colored by the
+    intensity channel (rviz/groundgrid.rviz); this renders the same view as
+    an (size, size, 3) uint8 image: ground points green, non-ground red,
+    outliers/dropped dim gray, ego-centered.
+    """
+    img = np.zeros((size, size, 3), np.uint8)
+    scale = size / (2.0 * extent)
+    u = ((center_xy[0] + extent - np.asarray(x)) * scale).astype(np.int64)
+    v = ((center_xy[1] + extent - np.asarray(y)) * scale).astype(np.int64)
+    ok = (u >= 0) & (u < size) & (v >= 0) & (v < size)
+    lab = np.asarray(labels)
+    colors = {49: (40, 220, 60), 99: (230, 50, 50), 0: (80, 80, 80)}
+    for value, color in colors.items():
+        m = ok & (lab == value)
+        img[u[m], v[m]] = color
+    return img
+
+
 def terrain_artifact(ground: np.ndarray, points_raw: np.ndarray) -> np.ndarray:
     """The reference's 32FC3 terrain image (GroundGridNodelet.cpp:247-270).
 
