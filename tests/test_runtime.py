@@ -120,3 +120,28 @@ def test_viz_export(tiny_config, tiny_dataset, tmp_path):
     art = terrain_artifact(res.aux["ground"], res.aux["points_raw"])
     assert art.shape == (tiny_config.cell_count, tiny_config.cell_count, 3)
     assert np.isfinite(art[..., 0]).all()
+
+
+def test_reconfigure_mid_sequence(tiny_config, tiny_dataset):
+    """Hot parameter change: grid state survives compatible reconfigs."""
+    import dataclasses
+
+    driver = StreamingDriver(tiny_config)
+    recs = list(tiny_dataset.iter_scans())
+    driver.process(recs[0])
+    ground_before = np.asarray(driver.state.ground).copy()
+
+    # compatible change (same geometry): state kept, pipeline rebuilt
+    cfg2 = dataclasses.replace(tiny_config, outlier_tolerance=0.2)
+    driver.reconfigure(cfg2)
+    assert driver.state is not None
+    np.testing.assert_array_equal(np.asarray(driver.state.ground), ground_before)
+    res = driver.process(recs[1])
+    assert (res.labels > 0).any()
+
+    # geometry change: state reset (reference re-creates the map)
+    cfg3 = dataclasses.replace(tiny_config, dimension=32.0, ray_steps=42)
+    driver.reconfigure(cfg3)
+    assert driver.state is None
+    res = driver.process(recs[2])
+    assert (res.labels > 0).any()
