@@ -86,8 +86,15 @@ def rasterize(
     z,
     origin,
     accept,  # (P,) bool: in-map, not ignored, not outlier
+    with_max: bool = True,
 ) -> RasterLayers:
-    """Scatter-accumulate all per-cell statistics (1-D scatters)."""
+    """Scatter-accumulate all per-cell statistics (1-D scatters).
+
+    ``with_max=False`` skips the maxGroundHeight scatter: the layer is
+    dead-but-published in the reference (SURVEY.md 2.3) and scatters are
+    serial on this backend, so the hot path omits it unless aux layers are
+    requested.
+    """
     n = config.cell_count
     n2 = n * n
     pd = z - origin[2]
@@ -113,9 +120,12 @@ def rasterize(
     sums = jnp.zeros((n2 + 1, 5), jnp.float32).at[cell].add(vals)
 
     minv = jnp.where(accept, z - np.float32(1e-4), FLT_MAX)  # epsilon (:308)
-    maxv = jnp.where(accept, z, FLT_TINY)  # init FLT_MIN quirk (:73)
     min_gh = jnp.full((n2 + 1,), FLT_MAX, jnp.float32).at[cell].min(minv)
-    max_gh = jnp.full((n2 + 1,), FLT_TINY, jnp.float32).at[cell].max(maxv)
+    if with_max:
+        maxv = jnp.where(accept, z, FLT_TINY)  # init FLT_MIN quirk (:73)
+        max_gh = jnp.full((n2 + 1,), FLT_TINY, jnp.float32).at[cell].max(maxv)
+    else:
+        max_gh = jnp.full((n2 + 1,), FLT_TINY, jnp.float32)
 
     def grid(a):
         return a[:n2].reshape(n, n)

@@ -150,7 +150,9 @@ def make_step_fn(config: GroundGridConfig, with_aux: bool = False, _salt: int = 
 
         # --- rasterize (cpp:200-311) ---
         accept = binning.inmap & ~binning.ignored & ~outlier
-        raster = rasterlib.rasterize(config, binning, z, origin, accept)
+        raster = rasterlib.rasterize(
+            config, binning, z, origin, accept, with_max=with_aux
+        )
 
         # --- ground patch detection (cpp:314-395) ---
         ground, groundpatch = detectlib.detect_ground_patches(

@@ -145,3 +145,36 @@ def test_reconfigure_mid_sequence(tiny_config, tiny_dataset):
     assert driver.state is None
     res = driver.process(recs[2])
     assert (res.labels > 0).any()
+
+
+def test_fleet_driver_matches_streaming(tiny_config):
+    """FleetDriver lock-step over 8 sequences == 8 independent StreamingDrivers."""
+    from groundgrid_tpu.runtime.fleet import FleetDriver
+    from groundgrid_tpu.data.semantickitti import ScanRecord
+
+    n_dev = len(jax.devices())
+    sequences = []
+    for v in range(n_dev):
+        recs = []
+        for k, (pts, lbl, T) in enumerate(
+            synthetic_sequence(2, seed=20 + v, n_beams=8, n_azimuth=128)
+        ):
+            recs.append(ScanRecord(
+                index=k, timestamp=0.1 * k,
+                points=np.concatenate([pts, np.zeros((len(pts), 1), np.float32)], 1),
+                labels=lbl, t_map_velo=T,
+            ))
+        sequences.append(recs)
+
+    fleet = FleetDriver(tiny_config, batch=n_dev)
+    ticks = list(fleet.run(sequences))
+    assert len(ticks) == 2
+    assert ticks[0].ground_points + ticks[0].nonground_points > 0
+
+    for v in range(n_dev):
+        driver = StreamingDriver(tiny_config)
+        for k, rec in enumerate(sequences[v]):
+            res = driver.process(rec)
+            np.testing.assert_array_equal(
+                ticks[k].labels[v][: res.n_points], res.labels
+            )
