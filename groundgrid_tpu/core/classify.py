@@ -58,8 +58,12 @@ def classify(
     if config.border_drop:
         considered &= (binning.gi0 + 3 < n) & (binning.gi1 + 3 < n)
 
-    gh = ground.reshape(-1)[flat]
-    var = variance.reshape(-1)[flat]
+    # one 2-wide row gather instead of two 1-wide gathers (3x cheaper on this
+    # backend: per-index overhead dominates serial gathers)
+    table = jnp.stack([ground.reshape(-1), variance.reshape(-1)], axis=-1)
+    pair = table[flat]
+    gh = pair[:, 0]
+    var = pair[:, 1]
     dist = jnp.sqrt(binning.sqdist)
 
     min_dist_fac = np.float32(config.minimum_distance_factor * 5)

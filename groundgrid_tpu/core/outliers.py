@@ -66,6 +66,19 @@ def occlusion_key_table(config: GroundGridConfig, ground, groundpatch):
     return key.reshape(-1)
 
 
+def _pair_table(config: GroundGridConfig, ground, groundpatch):
+    """(N*N, 2) f32 table: [bitcast(occlusion key), ground].
+
+    Row gathers of width >= 2 amortize the per-index overhead of this
+    backend's serial gathers (~3x faster than 1-wide), so both the candidate
+    test (needs ground) and the ray-march (needs the key) read this one
+    two-column table.
+    """
+    key = occlusion_key_table(config, ground, groundpatch)
+    key_f = lax.bitcast_convert_type(key, jnp.float32)
+    return jnp.stack([key_f, ground.reshape(-1)], axis=-1)
+
+
 def detect_outliers(
     config: GroundGridConfig,
     center,
@@ -88,11 +101,11 @@ def detect_outliers(
     n_steps = config.ray_steps - 3
     tol = np.float32(config.outlier_tolerance)
 
-    flat_cell = jnp.clip(binning.gi0, 0, n - 1) * n + jnp.clip(binning.gi1, 0, n - 1)
-    old_h = ground.reshape(-1)[flat_cell]
-    cand = binning.inmap & ~binning.ignored & (z < old_h - np.float32(0.2))
+    pair_table = _pair_table(config, ground, groundpatch)
 
-    key_table = occlusion_key_table(config, ground, groundpatch)
+    flat_cell = jnp.clip(binning.gi0, 0, n - 1) * n + jnp.clip(binning.gi1, 0, n - 1)
+    old_h = pair_table[flat_cell][:, 1]  # 2-wide row gather (see _pair_table)
+    cand = binning.inmap & ~binning.ignored & (z < old_h - np.float32(0.2))
 
     # compact candidates into a fixed-size buffer (top_k == sort by flag)
     vals, pidx = lax.top_k(cand.astype(jnp.int32), k_max)
@@ -127,7 +140,7 @@ def detect_outliers(
     i1 = jnp.floor(((center[1] + half) - sy) / res).astype(jnp.int32)
     inside = (i0 > 0) & (i1 > 0) & (i0 < n - 1) & (i1 < n - 1)
     flat = jnp.clip(i0, 0, n - 1) * n + jnp.clip(i1, 0, n - 1)
-    key = key_table[flat]
+    key = lax.bitcast_convert_type(pair_table[flat][..., 0], jnp.uint32)
     thr = _mono_u32(kk * vz[:, None] + origin[2] + tol)
     hit = within & inside & (key >= thr)
 
