@@ -61,34 +61,59 @@ def cmd_evaluate(args) -> int:
     from groundgrid_tpu.runtime.driver import StreamingDriver
 
     sequences = _parse_sequences(str(args.sequence))
-    driver = StreamingDriver(_config(args))
-    ev = Evaluator(sequences[0] if len(sequences) == 1 else ",".join(sequences))
+    name = sequences[0] if len(sequences) == 1 else ",".join(sequences)
     per_seq = {}
-    for seq in sequences:
-        ds = SemanticKITTI(args.directory, seq)
-        driver.reset()
-        seq_ev = Evaluator(seq)
-        records = (
-            PrefetchingLoader(ds, cap=args.max_points)
-            if args.native_loader
-            else ds.iter_scans(args.start, args.end)
-        )
-        for rec in records:
-            res = driver.process(rec)
-            if res is None:
-                continue
-            ev.add_cloud(res.labels, rec.labels)
-            seq_ev.add_cloud(res.labels, rec.labels)
-            if ev.clouds % 500 == 0:  # reference cadence (:123-124)
-                print(ev.format_statistics(), flush=True)
-        per_seq[seq] = seq_ev.compute().as_dict()
+    total_stats = None
+    if args.on_device_eval:
+        # step + scoring fully on device; one fetch per 500 clouds + final
+        from groundgrid_tpu.eval.metrics import Evaluator as HostEval
+        from groundgrid_tpu.runtime.evaluate import evaluate_records
+
+        ev = HostEval(name)
+        for seq in sequences:
+            ds = SemanticKITTI(args.directory, seq)
+            records = (
+                PrefetchingLoader(ds, cap=args.max_points)
+                if args.native_loader
+                else ds.iter_scans(args.start, args.end)
+            )
+            seq_ev, stats = evaluate_records(_config(args), records, seq)
+            per_seq[seq] = seq_ev.compute().as_dict()
+            ev.nonground_count += seq_ev.nonground_count
+            ev.true_positive += seq_ev.true_positive
+            ev.false_positive += seq_ev.false_positive
+            ev.total += seq_ev.total
+            ev.clouds += seq_ev.clouds
+            total_stats = stats
+    else:
+        driver = StreamingDriver(_config(args))
+        ev = Evaluator(name)
+        for seq in sequences:
+            ds = SemanticKITTI(args.directory, seq)
+            driver.reset()
+            seq_ev = Evaluator(seq)
+            records = (
+                PrefetchingLoader(ds, cap=args.max_points)
+                if args.native_loader
+                else ds.iter_scans(args.start, args.end)
+            )
+            for rec in records:
+                res = driver.process(rec)
+                if res is None:
+                    continue
+                ev.add_cloud(res.labels, rec.labels)
+                seq_ev.add_cloud(res.labels, rec.labels)
+                if ev.clouds % 500 == 0:  # reference cadence (:123-124)
+                    print(ev.format_statistics(), flush=True)
+            per_seq[seq] = seq_ev.compute().as_dict()
+        total_stats = driver.stats
     print(ev.format_statistics(), flush=True)
     m = ev.compute()
     payload = dict(
         sequences=sequences,
         scans=ev.clouds,
-        avg_ms=driver.stats.avg_ms,
-        scans_per_sec=driver.stats.scans_per_sec,
+        avg_ms=total_stats.avg_ms if total_stats else None,
+        scans_per_sec=total_stats.scans_per_sec if total_stats else None,
         **m.as_dict(),
     )
     if len(sequences) > 1:
@@ -159,6 +184,8 @@ def main(argv=None) -> int:
     p_eval.add_argument("--sequence", default="00", help="'00', '00-10' or '00,05'")
     p_eval.add_argument("--native-loader", action="store_true",
                         help="use the C++ prefetching loader")
+    p_eval.add_argument("--on-device-eval", action="store_true",
+                        help="score on device (no per-scan host fetch)")
     _add_common(p_eval)
     p_eval.set_defaults(func=cmd_evaluate)
 

@@ -60,3 +60,42 @@ def test_statistics_format_smoke():
     assert "Received 1 point clouds. KITTI sequence 07." in text
     assert "Precision" in text and "IoUg" in text
     assert "road" in text
+
+
+def test_device_evaluator_matches_host(small_config, small_scans):
+    """On-device accumulation == host evaluator, count for count."""
+    import jax.numpy as jnp
+
+    from groundgrid_tpu.eval.device import DeviceEvaluator
+
+    rng = np.random.default_rng(4)
+    host = Evaluator("09")
+    dev = DeviceEvaluator("09")
+    for _ in range(3):
+        gt = rng.choice([0, 10, 40, 44, 48, 50, 70, 72, 252], size=4000).astype(np.int32)
+        pred = rng.choice([0, 49, 99], size=4000, p=[0.05, 0.8, 0.15]).astype(np.int32)
+        host.add_cloud(pred, gt)
+        dev.add_cloud_device(jnp.asarray(pred), jnp.asarray(gt))
+    got = dev.to_host()
+    np.testing.assert_array_equal(got.nonground_count, host.nonground_count)
+    np.testing.assert_array_equal(got.true_positive, host.true_positive)
+    np.testing.assert_array_equal(got.false_positive, host.false_positive)
+    np.testing.assert_array_equal(got.total, host.total)
+    assert got.compute() == host.compute()
+
+
+def test_evaluate_records_end_to_end(small_config, small_scans):
+    from groundgrid_tpu.data.semantickitti import ScanRecord
+    from groundgrid_tpu.runtime.evaluate import evaluate_records
+
+    records = []
+    for k, (pts, lbl, T) in enumerate(small_scans):
+        records.append(ScanRecord(
+            index=k, timestamp=0.1 * k,
+            points=np.concatenate([pts, np.zeros((len(pts), 1), np.float32)], 1),
+            labels=lbl, t_map_velo=T,
+        ))
+    ev, stats = evaluate_records(small_config, records, "00", progress_every=0)
+    m = ev.compute()
+    assert ev.clouds == len(records)
+    assert m.recall > 0.9
