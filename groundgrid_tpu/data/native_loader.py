@@ -101,6 +101,7 @@ class PrefetchingLoader:
             )
         self._pts = np.empty((cap, 4), np.float32)
         self._lab = np.empty((cap,), np.int32)
+        self._fallback_start = 0
 
     @property
     def native(self) -> bool:
@@ -109,11 +110,17 @@ class PrefetchingLoader:
     def seek(self, index: int) -> None:
         if self._handle is not None:
             self._lib.gg_loader_seek(self._handle, index)
-        self._next_fallback = index
+        self._fallback_start = index
 
     def __iter__(self) -> Iterator[ScanRecord]:
         if self._handle is None:
-            yield from self.ds.iter_scans()
+            for idx in range(self._fallback_start, len(self.ds)):
+                rec = self.ds.read_scan(idx)
+                yield ScanRecord(
+                    index=rec.index, timestamp=rec.timestamp,
+                    points=rec.points[: self.cap], labels=rec.labels[: self.cap],
+                    t_map_velo=rec.t_map_velo,
+                )
             return
         count = ctypes.c_int32(0)
         while True:

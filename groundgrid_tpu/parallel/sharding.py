@@ -25,7 +25,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from groundgrid_tpu.config import GroundGridConfig
 from groundgrid_tpu.core.grid import GridState
-from groundgrid_tpu.pipeline import Scan, StepOutput, make_step_fn
+from groundgrid_tpu.pipeline import Scan, make_step_fn
 
 
 class FleetSummary(NamedTuple):

@@ -19,7 +19,6 @@ ICI.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,7 @@ over B scans -- one device-to-host fetch per tick instead of per scan.
 from __future__ import annotations
 
 import dataclasses
-from typing import Iterable, Iterator, List, Optional, Sequence
+from typing import Iterable, Iterator, List, Sequence
 
 import jax
 import numpy as np
