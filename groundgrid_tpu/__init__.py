@@ -9,7 +9,15 @@ streaming/batched (fleet) drivers -- no ROS, no host-side hot loops.
 
 from groundgrid_tpu.config import DEFAULT_CONFIG, HIGHRES_CONFIG, GroundGridConfig
 from groundgrid_tpu.core.grid import GridState
-from groundgrid_tpu.pipeline import Scan, StepOutput, init_state, make_step, pad_scan
+from groundgrid_tpu.pipeline import (
+    Scan,
+    StepOutput,
+    compile_step_verified,
+    init_state,
+    make_step,
+    make_step_fn,
+    pad_scan,
+)
 
 __version__ = "0.1.0"
 
@@ -22,6 +30,29 @@ __all__ = [
     "StepOutput",
     "init_state",
     "make_step",
+    "make_step_fn",
+    "compile_step_verified",
     "pad_scan",
     "__version__",
 ]
+
+
+def __getattr__(name):
+    # heavier runtime entry points, imported lazily
+    if name == "StreamingDriver":
+        from groundgrid_tpu.runtime.driver import StreamingDriver
+
+        return StreamingDriver
+    if name == "FleetDriver":
+        from groundgrid_tpu.runtime.fleet import FleetDriver
+
+        return FleetDriver
+    if name == "Evaluator":
+        from groundgrid_tpu.eval.metrics import Evaluator
+
+        return Evaluator
+    if name == "SemanticKITTI":
+        from groundgrid_tpu.data.semantickitti import SemanticKITTI
+
+        return SemanticKITTI
+    raise AttributeError(f"module 'groundgrid_tpu' has no attribute {name!r}")
