@@ -79,6 +79,17 @@ class GroundGridConfig:
     # True/False. The Pallas and XLA paths are numerically equivalent
     # (tests/test_pallas_spiral.py); Pallas is ~25x faster on a v5e.
     use_pallas: bool | None = None
+    # Sorted-scan mode: scans are host-prepared (see pipeline.prepare_scan) --
+    # points pre-transformed to the map frame and pre-sorted by flat cell id,
+    # with the host-tracked grid center supplied per scan. Enables the
+    # scatter-free Pallas rasterizer (ops/pallas_raster.py). The device
+    # verifies monotonicity and falls back to the scatter path for scans
+    # that are not actually sorted (e.g. a host/device fp divergence).
+    sorted_scans: bool = False
+    # Skip the on-device sortedness check + fallback branch (the lax.cond
+    # becomes both-branches-execute under vmap, so batched/fleet pipelines
+    # set this False only if the host guarantees sorted input).
+    sorted_fallback_check: bool = True
 
     @property
     def cell_count(self) -> int:

@@ -73,7 +73,8 @@ def index_shift(config: GroundGridConfig, center, new_position):
     return k, new_center
 
 
-def move(config: GroundGridConfig, state: GridState, new_position, t_base_map) -> GridState:
+def move(config: GroundGridConfig, state: GridState, new_position, t_base_map,
+         new_center=None) -> GridState:
     """Relocate the grid to track the ego vehicle (``GroundGrid::update``).
 
     * content shifts by whole cells via ``jnp.roll`` (replaces grid_map's
@@ -86,9 +87,21 @@ def move(config: GroundGridConfig, state: GridState, new_position, t_base_map) -
     The no-movement case degenerates to shift 0 with an empty exposed mask --
     the same early-return semantics as GroundGrid.cpp:136-137, without host
     control flow.
+
+    ``new_center`` (optional, (2,) f32): host-authoritative center for this
+    step. In sorted-scan mode the host pre-sorts points by their cell id, so
+    the device must bin against the *exact same* f32 center the host used --
+    fp-identical recomputation on device cannot be guaranteed (XLA may form
+    FMAs under --xla_allow_excess_precision). The shift is derived from the
+    center delta instead (robust: centers differ by exact cell multiples).
     """
     n = config.cell_count
-    k, new_center = index_shift(config, state.center, new_position)
+    if new_center is None:
+        k, new_center = index_shift(config, state.center, new_position)
+    else:
+        new_center = jnp.asarray(new_center, jnp.float32)
+        res = np.float32(config.resolution)
+        k = jnp.round((new_center - state.center) / res).astype(jnp.int32)
 
     ground = jnp.roll(state.ground, shift=(k[0], k[1]), axis=(0, 1))
     groundpatch = jnp.roll(state.groundpatch, shift=(k[0], k[1]), axis=(0, 1))

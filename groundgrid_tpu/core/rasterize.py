@@ -63,12 +63,18 @@ def bin_points(config: GroundGridConfig, center, x, y, z, rings, valid, origin) 
     Ignore rule (GroundSegmentation.cpp:237-240): ring > max_ring or squared
     xy distance to the sensor below 12 m^2; such points skip all statistics
     but are still classified at the end (re-added, :150).
+
+    The cell index multiplies by a precomputed f32 reciprocal instead of
+    dividing: TPU f32 division lowers to reciprocal+refinement and is not
+    bit-identical to IEEE division, but multiplication is exact -- this is
+    what lets the sorted-scan host prep (pipeline.predict_cells) predict the
+    device's cell ids bitwise.
     """
     n = config.cell_count
-    res = np.float32(config.resolution)
+    inv_res = np.float32(1.0) / np.float32(config.resolution)
     half = np.float32(config.half_length)
-    gi0 = jnp.floor(((center[0] + half) - x) / res).astype(jnp.int32)
-    gi1 = jnp.floor(((center[1] + half) - y) / res).astype(jnp.int32)
+    gi0 = jnp.floor(((center[0] + half) - x) * inv_res).astype(jnp.int32)
+    gi1 = jnp.floor(((center[1] + half) - y) * inv_res).astype(jnp.int32)
     inmap = (gi0 >= 0) & (gi0 < n) & (gi1 >= 0) & (gi1 < n) & valid
     cell = jnp.where(inmap, gi0 * n + gi1, n * n).astype(jnp.int32)
     dx = x - origin[0]
@@ -127,16 +133,87 @@ def rasterize(
     else:
         max_gh = jnp.full((n2 + 1,), FLT_TINY, jnp.float32)
 
-    def grid(a):
-        return a[:n2].reshape(n, n)
-
     # one transpose instead of five strided column extractions
     sums_t = sums[:n2].T
-    points_raw = sums_t[0].reshape(n, n)
-    count = sums_t[1].reshape(n, n)
-    sum_z = sums_t[2].reshape(n, n)
-    sum_pdc = sums_t[3].reshape(n, n)
-    sum_pdc2 = sums_t[4].reshape(n, n)
+    return _finish_layers(
+        config,
+        points_raw=sums_t[0],
+        count=sums_t[1],
+        sum_z=sums_t[2],
+        sum_pdc=sums_t[3],
+        sum_pdc2=sums_t[4],
+        min_gh=min_gh[:n2],
+        max_gh=max_gh[:n2],
+        shift=shift,
+    )
+
+
+def rasterize_sorted(
+    config: GroundGridConfig,
+    binning: Binning,
+    z,
+    origin,
+    accept,
+) -> RasterLayers:
+    """Scatter-free rasterization for **cell-sorted** scans (Pallas kernel).
+
+    Numerically equivalent to :func:`rasterize` (summation tree order
+    differs at the ~1 ulp level); the min layer is bitwise identical.
+    Requires ``binning.cell`` to be nondecreasing -- the pipeline verifies
+    this on device and falls back to :func:`rasterize` otherwise. The
+    (dead-but-published) maxGroundHeight layer keeps its reset value; use
+    the plain path when aux layers are requested.
+    """
+    from groundgrid_tpu.ops.pallas_raster import build_b, raster_sums_min
+
+    n = config.cell_count
+    n2 = n * n
+    pd = z - origin[2]
+
+    acc = accept.astype(jnp.float32)
+    total = jnp.maximum(jnp.sum(acc), 1.0)
+    shift = jnp.sum(jnp.where(accept, pd, 0.0)) / total
+    pdc = jnp.where(accept, pd - shift, 0.0)
+
+    b_all = build_b(
+        binning.cell,
+        binning.inmap.astype(jnp.float32),
+        acc,
+        jnp.where(accept, z, 0.0),
+        pdc,
+        pdc * pdc,
+    )
+    minv = jnp.where(accept, z - np.float32(1e-4), FLT_MAX)
+    sums, mins = raster_sums_min(binning.cell, b_all, minv, n2)
+
+    sums_t = sums.T
+    return _finish_layers(
+        config,
+        points_raw=sums_t[0],
+        count=sums_t[1],
+        sum_z=sums_t[2],
+        sum_pdc=sums_t[3],
+        sum_pdc2=sums_t[4],
+        min_gh=mins,
+        max_gh=jnp.full((n2,), FLT_TINY, jnp.float32),
+        shift=shift,
+    )
+
+
+def _finish_layers(
+    config, points_raw, count, sum_z, sum_pdc, sum_pdc2, min_gh, max_gh, shift
+) -> RasterLayers:
+    """Shared moment -> layer math on flat (N*N,) accumulator columns."""
+    n = config.cell_count
+
+    def grid(a):
+        return a.reshape(n, n)
+
+    points_raw = grid(points_raw)
+    count = grid(count)
+    sum_z = grid(sum_z)
+    sum_pdc = grid(sum_pdc)
+    sum_pdc2 = grid(sum_pdc2)
 
     safe = jnp.maximum(count, 1.0)
     mean_pdc = sum_pdc / safe

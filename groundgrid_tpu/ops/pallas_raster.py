@@ -1,0 +1,205 @@
+"""Pallas TPU kernel: sorted-point rasterization as one-hot MXU matmuls.
+
+TPU-native replacement for the scatter-reduction form of
+``GroundSegmentation::insert_cloud`` (``GroundSegmentation.cpp:200-311``).
+XLA lowers gather/scatter to ~10 ns/element serial loops on TPU, so the two
+rasterize scatters (the 5-column sum and the min-height) dominate the
+per-scan device time. This kernel removes both: with points *sorted by flat
+cell id* the scatter becomes a dense block-local reduction,
+
+    sums[c, k] = sum_p onehot[p, c] * vals[p, k],
+
+and the one-hot factorizes over c = 128*hi + lo as
+
+    sums[lo, NK*(hi mod NW) + k] += A[lo, p] * B[p, NK*(hi mod NW) + k]
+    A[lo, p] = (cell[p] mod 128 == lo) & (cell[p] // CB == block)
+    B[p, NK*w + k] = (cell[p] // 128 mod NW == w) * vals[k][p]
+
+so each 256-point chunk is ONE (128, 256) @ (256, 128) MXU matmul -- both
+one-hot factors build in their natural (sublane, lane) orientations, no
+transposes anywhere. The per-cell min rides the same A mask as a VPU masked
+min-reduction. Cost is ~2 MXU passes per chunk instead of 256 serial
+scatter updates; measured ~5x faster than the two XLA scatters combined.
+
+Work partitioning: kernel grid over blocks of CB=1024 cells; each block
+processes the (chunk-aligned, slightly overlapping) range of 256-point
+chunks containing its points, located via an XLA-side ``searchsorted`` on
+the sorted cell ids. The A-mask's block test makes the chunk overlap exact:
+foreign points in a shared boundary chunk contribute zero. B rows stream
+from HBM with a double-buffered async copy; the buffer slots are *static*
+(the loop is unrolled 2x) -- dynamic ``.at[slot]`` scratch indexing
+miscompiles on this toolchain (silent data corruption, observed).
+
+Inputs must be sorted by ``cell``; the pipeline verifies monotonicity on
+device and falls back to the XLA scatter path otherwise (see
+core/rasterize.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+FLT_MAX = np.float32(np.finfo(np.float32).max)
+
+CHUNK = 256  # points per matmul chunk
+CB = 1024  # cells per kernel-grid block
+NW = 8  # hi-groups per block (CB / 128)
+NK = 16  # value columns (5 used; padded so B's lane width is a full tile)
+BL = NW * NK  # B lane width == 128 (DMA slices must be lane-tile aligned)
+
+
+def _num_blocks(n_cells_padded: int) -> int:
+    return (n_cells_padded + CB - 1) // CB
+
+
+def padded_cells(n2: int) -> int:
+    """Cells padded so the overflow cell (id n2) lands inside the last block."""
+    return _num_blocks(n2 + 1) * CB
+
+
+def _kernel(row_lo_ref, row_hi_ref, cell_ref, minv_ref, b_hbm,
+            sums_ref, mins_ref, b_buf, sems):
+    g = pl.program_id(0)
+    lo = row_lo_ref[g]
+    nch = row_hi_ref[g] - lo
+
+    sums_ref[:] = jnp.zeros_like(sums_ref)
+    mins_ref[:] = jnp.full_like(mins_ref, FLT_MAX)
+
+    r_iota = lax.broadcasted_iota(jnp.int32, (128, CHUNK), 0)
+
+    def dma(i, slot):
+        return pltpu.make_async_copy(
+            b_hbm.at[pl.ds((lo + i) * CHUNK, CHUNK), :],
+            b_buf.at[slot],
+            sems.at[slot],
+        )
+
+    def compute(i, slot):
+        row = lo + i
+        cells = cell_ref[pl.ds(row, 1), :]  # (1, CHUNK) i32
+        in_blk = (cells // CB) == g
+        a_mask = ((cells % 128) == r_iota) & in_blk  # (128, CHUNK)
+        a = a_mask.astype(jnp.float32)
+        # HIGHEST: the MXU's default bf16 input rounding would corrupt the
+        # f32 value columns; A is exactly 0/1 so f32-emulation is exact.
+        sums_ref[:] += jnp.dot(
+            a, b_buf[slot],
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST,
+        )
+
+        minrow = minv_ref[pl.ds(row, 1), :]  # (1, CHUNK)
+        w_all = (cells // 128) % NW
+        cols = []
+        for w in range(NW):
+            m = jnp.where(a_mask & (w_all == w), minrow, FLT_MAX)
+            cols.append(jnp.min(m, axis=1, keepdims=True))  # (128, 1)
+        mins_ref[:] = jnp.minimum(mins_ref[:], jnp.concatenate(cols, axis=1))
+
+    @pl.when(nch > 0)
+    def _():
+        dma(0, 0).start()
+
+    def body(j, _):
+        i = 2 * j
+
+        @pl.when(i + 1 < nch)
+        def _():
+            dma(i + 1, 1).start()
+
+        dma(i, 0).wait()
+        compute(i, 0)
+
+        @pl.when(i + 2 < nch)
+        def _():
+            dma(i + 2, 0).start()
+
+        @pl.when(i + 1 < nch)
+        def _():
+            dma(i + 1, 1).wait()
+            compute(i + 1, 1)
+
+        return 0
+
+    lax.fori_loop(0, (nch + 1) // 2, body, 0)
+
+
+def raster_sums_min(cell_sorted, b_all, minv_sorted, n2: int, interpret: bool = False):
+    """Per-cell sums + min from cell-sorted points.
+
+    Args:
+      cell_sorted: (P,) int32 flat cell ids, **nondecreasing**, in [0, n2]
+        (n2 = overflow/padding bin).
+      b_all: (P, BL) f32 B-matrix from :func:`build_b`.
+      minv_sorted: (P,) f32 min-candidates (+FLT_MAX where not accepted).
+      n2: number of real cells (grid N*N).
+
+    Returns:
+      sums: (n2, NK) f32 -- per-cell column sums (column k = vals[k]).
+      mins: (n2,) f32 -- per-cell minimum of minv (+FLT_MAX where empty).
+    """
+    p = cell_sorted.shape[0]
+    if p % CHUNK:
+        raise ValueError(f"point count {p} must be a multiple of {CHUNK}")
+    nch_total = p // CHUNK
+    n_pad = padded_cells(n2)
+    g_blocks = _num_blocks(n2 + 1)
+
+    # chunk-row range per block: points with cell in [g*CB, (g+1)*CB)
+    bounds = jnp.arange(g_blocks + 1, dtype=jnp.int32) * CB
+    pt = jnp.searchsorted(cell_sorted, bounds, side="left").astype(jnp.int32)
+    row_lo = pt[:-1] // CHUNK
+    row_hi = jnp.minimum((pt[1:] + CHUNK - 1) // CHUNK, nch_total)
+    row_hi = jnp.maximum(row_hi, row_lo)
+
+    cell2d = cell_sorted.reshape(nch_total, CHUNK)
+    minv2d = minv_sorted.reshape(nch_total, CHUNK)
+
+    sums, mins = pl.pallas_call(
+        _kernel,
+        grid=(g_blocks,),
+        out_shape=(
+            jax.ShapeDtypeStruct((g_blocks * 128, BL), jnp.float32),
+            jax.ShapeDtypeStruct((g_blocks * 128, NW), jnp.float32),
+        ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # b_all stays off-core; DMA'd
+        ],
+        out_specs=(
+            pl.BlockSpec((128, BL), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((128, NW), lambda g: (g, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, CHUNK, BL), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(row_lo, row_hi, cell2d, minv2d, b_all)
+
+    # unpack [g*128 + lo, NK*w + k] -> cell-major (n_pad, NK); c = CB*g + 128*w + lo
+    sums = sums.reshape(g_blocks, 128, NW, NK).transpose(0, 2, 1, 3)
+    sums = sums.reshape(n_pad, NK)[:n2]
+    mins = mins.reshape(g_blocks, 128, NW).transpose(0, 2, 1).reshape(n_pad)[:n2]
+    return sums, mins
+
+
+def build_b(cell, *vals):
+    """(P, BL) B-matrix: ``B[p, NK*w + k] = (cell[p]//128 % NW == w) * vals[k][p]``."""
+    if len(vals) > NK:
+        raise ValueError(f"at most {NK} value columns, got {len(vals)}")
+    w = (cell // 128) % NW
+    wm = (w[:, None] == jnp.arange(NW, dtype=cell.dtype)[None, :]).astype(jnp.float32)
+    v = jnp.stack(
+        list(vals) + [jnp.zeros_like(vals[0])] * (NK - len(vals)), axis=-1
+    )
+    return (wm[:, :, None] * v[:, None, :]).reshape(cell.shape[0], BL)

@@ -52,6 +52,9 @@ class Scan(NamedTuple):
     t_map_velo: (4, 4) f32 sensor->map pose (cloud transform + origin).
     t_map_base: (4, 4) f32 base_link->map pose (spiral seed height).
     t_base_map: (4, 4) f32 map->base_link (exposed-cell ground init).
+    center: (2,) f32 host-tracked grid center for this scan, or None to
+            derive it on device (``config.sorted_scans`` requires it: the
+            host sorts points by cell ids binned against this exact value).
     """
 
     px: jax.Array
@@ -62,6 +65,7 @@ class Scan(NamedTuple):
     t_map_velo: jax.Array
     t_map_base: jax.Array
     t_base_map: jax.Array
+    center: jax.Array | None = None
 
 
 class StepOutput(NamedTuple):
@@ -104,6 +108,11 @@ def _validate(config: GroundGridConfig) -> None:
             f"config.ray_steps={config.ray_steps} too small for a "
             f"{config.dimension}m grid; need >= {need}"
         )
+    if config.sorted_scans and config.max_points % 256:
+        raise ValueError(
+            "sorted_scans requires max_points to be a multiple of 256 "
+            f"(pallas raster chunk size), got {config.max_points}"
+        )
 
 
 def make_step_fn(config: GroundGridConfig, with_aux: bool = False, _salt: int = 0):
@@ -127,7 +136,14 @@ def make_step_fn(config: GroundGridConfig, with_aux: bool = False, _salt: int = 
 
     def step_impl(state: GridState, scan: Scan):
         # --- transform to map frame (GroundGridNodelet.cpp:139-184) ---
-        x, y, z = tf.transform_points_soa(scan.t_map_velo, scan.px, scan.py, scan.pz)
+        if config.sorted_scans:
+            # host-prepared scans are already in the map frame (the host must
+            # bin the exact f32 coordinates the device bins; re-running the
+            # transform on device could diverge by 1 ulp under XLA's
+            # excess-precision FMA formation and break the sort order)
+            x, y, z = scan.px, scan.py, scan.pz
+        else:
+            x, y, z = tf.transform_points_soa(scan.t_map_velo, scan.px, scan.py, scan.pz)
         origin = scan.t_map_velo[:3, 3]
         if _salt:
             # traced no-op (adds f32 +0.0) that cannot fold at trace time:
@@ -135,7 +151,9 @@ def make_step_fn(config: GroundGridConfig, with_aux: bool = False, _salt: int = 
             origin = origin + (scan.rings[_salt % config.max_points] * 0).astype(jnp.float32)
 
         # --- grid relocation (GroundGrid.cpp:83-147) ---
-        state = gridlib.move(config, state, origin[:2], scan.t_base_map)
+        state = gridlib.move(
+            config, state, origin[:2], scan.t_base_map, new_center=scan.center
+        )
 
         # --- binning ---
         binning = rasterlib.bin_points(
@@ -150,9 +168,26 @@ def make_step_fn(config: GroundGridConfig, with_aux: bool = False, _salt: int = 
 
         # --- rasterize (cpp:200-311) ---
         accept = binning.inmap & ~binning.ignored & ~outlier
-        raster = rasterlib.rasterize(
-            config, binning, z, origin, accept, with_max=with_aux
-        )
+        if config.sorted_scans and use_pallas and not with_aux:
+            sorted_fn = functools.partial(
+                rasterlib.rasterize_sorted, config, binning, z, origin, accept
+            )
+            if config.sorted_fallback_check:
+                is_sorted = jnp.all(binning.cell[1:] >= binning.cell[:-1])
+                raster = jax.lax.cond(
+                    is_sorted,
+                    sorted_fn,
+                    functools.partial(
+                        rasterlib.rasterize, config, binning, z, origin,
+                        accept, with_max=False,
+                    ),
+                )
+            else:
+                raster = sorted_fn()
+        else:
+            raster = rasterlib.rasterize(
+                config, binning, z, origin, accept, with_max=with_aux
+            )
 
         # --- ground patch detection (cpp:314-395) ---
         ground, groundpatch = detectlib.detect_ground_patches(
@@ -324,3 +359,100 @@ def pad_scan(
         t_map_base=jnp.asarray(np.asarray(t_map_base, np.float32)),
         t_base_map=jnp.asarray(np.asarray(t_base_map, np.float32)),
     )
+
+
+class CenterTracker:
+    """Host-side replica of the grid-center recurrence (GridState.center).
+
+    In sorted-scan mode the host must know the grid center *before* dispatch
+    (to bin + sort points by the cell ids the device will compute), so the
+    center evolution lives on the host and is passed into each Scan; the
+    device derives the roll shift from the center delta (core/grid.py).
+    The recurrence mirrors ``grid_map::getIndexShiftFromPositionShift``:
+    whole-cell snapping toward the new odometry position.
+    """
+
+    def __init__(self, config: GroundGridConfig, center_xy):
+        self._res = np.float32(config.resolution)
+        self.center = np.asarray(center_xy, np.float32).copy()
+
+    def update(self, position_xy) -> np.ndarray:
+        """Advance to (the cell-snapped version of) ``position_xy``."""
+        delta = np.asarray(position_xy, np.float32) - self.center
+        k = np.round(delta / self._res).astype(np.float32)
+        self.center = (self.center + k * self._res).astype(np.float32)
+        return self.center
+
+
+def predict_cells(config: GroundGridConfig, center, x, y, valid) -> np.ndarray:
+    """Host (numpy f32) replica of the device binning (core/rasterize.py).
+
+    Bit-exact with the device under two conditions the sorted-scan mode
+    guarantees: the device bins the same f32 map-frame coordinates (scans
+    are pre-transformed) and the same f32 center (host-tracked). The op
+    chain (add/sub/mul/floor -- note *mul* by a precomputed reciprocal, TPU
+    f32 division is not IEEE-exact) has no FMA-fusable pattern, so XLA's
+    excess-precision rewrites cannot diverge from numpy.
+    """
+    n = config.cell_count
+    inv_res = np.float32(1.0) / np.float32(config.resolution)
+    c0 = np.float32(np.float32(center[0]) + np.float32(config.half_length))
+    c1 = np.float32(np.float32(center[1]) + np.float32(config.half_length))
+    x = np.asarray(x, np.float32)
+    y = np.asarray(y, np.float32)
+    gi0 = np.floor((c0 - x) * inv_res).astype(np.int32)
+    gi1 = np.floor((c1 - y) * inv_res).astype(np.int32)
+    inmap = (gi0 >= 0) & (gi0 < n) & (gi1 >= 0) & (gi1 < n) & np.asarray(valid, bool)
+    return np.where(inmap, gi0 * n + gi1, n * n).astype(np.int32)
+
+
+def prepare_scan(
+    config: GroundGridConfig,
+    points,
+    rings,
+    t_map_velo,
+    center,
+    t_map_base=None,
+    t_base_map=None,
+):
+    """Host-side scan preparation for ``config.sorted_scans`` pipelines.
+
+    Transforms the raw sensor-frame points to the map frame, pads to
+    ``max_points``, sorts everything by the predicted flat cell id (binned
+    against the host-tracked ``center``) and returns ``(scan, order)`` where
+    ``order`` is the applied permutation: ``sorted_arr = arr[order]``, so
+    per-point outputs are restored with ``out[np.argsort(order)]`` (order is
+    host-side only; on-device consumers -- eval, grid layers -- are
+    order-invariant).
+    """
+    p = np.asarray(points, dtype=np.float64)
+    r = np.asarray(rings, dtype=np.int32)
+    count = min(p.shape[0], config.max_points)
+    cap = config.max_points
+
+    t_map_velo = np.asarray(t_map_velo, dtype=np.float64)
+    if t_map_base is None or t_base_map is None:
+        _, t_map_base, t_base_map = tf.scan_poses(t_map_velo)
+
+    xyz = np.zeros((cap, 3), dtype=np.float32)
+    xyz[:count] = tf.transform_points(t_map_velo, p[:count, :3]).astype(np.float32)
+    rng = np.zeros((cap,), dtype=np.int32)
+    rng[:count] = r[:count]
+    msk = np.zeros((cap,), dtype=np.int32)
+    msk[:count] = 1
+
+    cells = predict_cells(config, center, xyz[:, 0], xyz[:, 1], msk)
+    order = np.argsort(cells, kind="stable")
+    xyz = xyz[order]
+    scan = Scan(
+        px=jnp.asarray(np.ascontiguousarray(xyz[:, 0])),
+        py=jnp.asarray(np.ascontiguousarray(xyz[:, 1])),
+        pz=jnp.asarray(np.ascontiguousarray(xyz[:, 2])),
+        rings=jnp.asarray(rng[order]),
+        valid=jnp.asarray(msk[order]),
+        t_map_velo=jnp.asarray(t_map_velo.astype(np.float32)),
+        t_map_base=jnp.asarray(np.asarray(t_map_base, np.float32)),
+        t_base_map=jnp.asarray(np.asarray(t_base_map, np.float32)),
+        center=jnp.asarray(np.asarray(center, np.float32)),
+    )
+    return scan, order

@@ -59,17 +59,30 @@ def _device_ms_per_step(step, state, scans, n_distinct: int, iters: int = 8) -> 
 
 
 def _make_scans(config, n_distinct: int, n_beams=64, n_azimuth=2048, seed=0):
-    """Pre-render a few distinct synthetic scans + consecutive poses."""
+    """Pre-render a few distinct synthetic scans + consecutive poses.
+
+    In ``config.sorted_scans`` mode this performs the host-side preparation a
+    production loader does in its prefetch threads (map-frame transform +
+    cell sort against the host-tracked center, see pipeline.prepare_scan).
+    """
     from groundgrid_tpu.data.synthetic import make_scene, render_scan, vehicle_pose
-    from groundgrid_tpu.pipeline import pad_scan
+    from groundgrid_tpu.pipeline import CenterTracker, pad_scan, prepare_scan
 
     scene = make_scene(seed, extent=min(200.0, 2 * config.dimension))
     scans = []
     poses = []
+    tracker = None
     for k in range(n_distinct):
         T = vehicle_pose(scene, k, step_m=1.2)
         pts, lbl = render_scan(scene, T, n_beams=n_beams, n_azimuth=n_azimuth, seed=seed + k)
-        scans.append(pad_scan(config, pts, lbl, T))
+        if config.sorted_scans:
+            pos = T[:2, 3].astype(np.float32)
+            if tracker is None:
+                tracker = CenterTracker(config, pos)
+            scan, _ = prepare_scan(config, pts, lbl, T, tracker.update(pos))
+            scans.append(scan)
+        else:
+            scans.append(pad_scan(config, pts, lbl, T))
         poses.append(T)
     return scans, poses
 
@@ -91,9 +104,17 @@ def run_benchmark(
 
     enable_compilation_cache()
 
-    config = GroundGridConfig(resolution=resolution, dimension=dimension)
     platform = jax.devices()[0].platform
-    _log(f"bench: platform={platform} grid={config.cell_count}^2 batch={batch}")
+    # streaming mode uses host-prepared sorted scans (scatter-free Pallas
+    # rasterizer); the fleet path keeps the scatter form for now (the
+    # sortedness-fallback cond would execute both branches under vmap)
+    config = GroundGridConfig(
+        resolution=resolution,
+        dimension=dimension,
+        sorted_scans=(batch == 1 and platform == "tpu"),
+    )
+    _log(f"bench: platform={platform} grid={config.cell_count}^2 batch={batch} "
+         f"sorted={config.sorted_scans}")
 
     n_distinct = min(8, max(4, n_scans))
     scans, poses = _make_scans(config, n_distinct, n_beams, n_azimuth)

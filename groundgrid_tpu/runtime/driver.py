@@ -32,7 +32,13 @@ from groundgrid_tpu.config import GroundGridConfig
 from groundgrid_tpu.core import transforms as tf
 from groundgrid_tpu.core.grid import GridState
 from groundgrid_tpu.data.semantickitti import ScanRecord
-from groundgrid_tpu.pipeline import Scan, init_state, make_step
+from groundgrid_tpu.pipeline import (
+    CenterTracker,
+    Scan,
+    init_state,
+    make_step,
+    prepare_scan,
+)
 
 
 @dataclasses.dataclass
@@ -79,6 +85,10 @@ class StreamingDriver:
         self.step = None
         self.state: GridState | None = None
         self.stats = TimingStats()
+        # sorted-scan mode (config.sorted_scans): host-tracked grid center +
+        # the last applied sort permutation (to restore input point order)
+        self._tracker: CenterTracker | None = None
+        self._last_order: np.ndarray | None = None
 
     def _compile(self, rec: ScanRecord) -> None:
         import jax
@@ -98,6 +108,8 @@ class StreamingDriver:
     def reset(self) -> None:
         self.state = None
         self.stats = TimingStats()
+        self._tracker = None
+        self._last_order = None
 
     def reconfigure(self, config: GroundGridConfig) -> None:
         """Swap runtime parameters, keeping the grid state when compatible.
@@ -117,12 +129,24 @@ class StreamingDriver:
         self.step = None  # recompiled (and re-probed) on the next scan
         if not keep_state:
             self.state = None
+            self._tracker = None
 
     def _make_scan(self, rec: ScanRecord) -> Scan:
         import jax.numpy as jnp
 
         mv, mb, bm = tf.scan_poses(rec.t_map_velo)
         cfg = self.config
+        if cfg.sorted_scans:
+            pos = rec.t_map_velo[:2, 3].astype(np.float32)
+            if self._tracker is None:
+                self._tracker = CenterTracker(cfg, pos)
+            center = self._tracker.update(pos)  # idempotent for a re-sent pose
+            scan, order = prepare_scan(
+                cfg, rec.points[:, :3], rec.labels, rec.t_map_velo, center,
+                t_map_base=mb, t_base_map=bm,
+            )
+            self._last_order = order
+            return scan
         cap = cfg.max_points
         pts = np.zeros((3, cap), np.float32)  # SoA (see pipeline.Scan)
         rng = np.zeros((cap,), np.int32)
@@ -162,6 +186,13 @@ class StreamingDriver:
             aux = None
         labels = np.asarray(jax.device_get(step_out.labels))
         outlier = np.asarray(jax.device_get(step_out.outlier)).astype(bool)
+        if self.config.sorted_scans and self._last_order is not None:
+            unsorted_labels = np.empty_like(labels)
+            unsorted_labels[self._last_order] = labels
+            labels = unsorted_labels
+            unsorted_outlier = np.empty_like(outlier)
+            unsorted_outlier[self._last_order] = outlier
+            outlier = unsorted_outlier
         ms = (time.perf_counter() - t0) * 1000.0
         self.stats.update(ms)
 

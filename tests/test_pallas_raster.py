@@ -1,0 +1,176 @@
+"""Sorted-point rasterization: Pallas kernel (interpret mode) + sorted-scan
+pipeline machinery (host prep, center tracking, XLA fallback equivalence).
+
+The compiled-kernel path is TPU-only and is exercised by the system test /
+benchmark on hardware; here the kernel logic runs in interpreter mode and
+the surrounding machinery runs on the CPU mesh.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from groundgrid_tpu.config import GroundGridConfig
+from groundgrid_tpu.core import rasterize as rasterlib
+from groundgrid_tpu.core import transforms as tf
+from groundgrid_tpu.ops.pallas_raster import build_b, raster_sums_min
+
+FLT_MAX = np.float32(np.finfo(np.float32).max)
+
+
+def _numpy_reference(cell, vals, minv, n2):
+    sums = np.zeros((n2 + 1, len(vals)), np.float32)
+    for k, v in enumerate(vals):
+        np.add.at(sums[:, k], cell, v)
+    mins = np.full(n2 + 1, FLT_MAX, np.float32)
+    np.minimum.at(mins, cell, minv)
+    return sums[:n2], mins[:n2]
+
+
+def _check(cell, vals, minv, n2):
+    b_all = build_b(jnp.asarray(cell), *[jnp.asarray(v) for v in vals])
+    sums, mins = raster_sums_min(
+        jnp.asarray(cell), b_all, jnp.asarray(minv), n2, interpret=True
+    )
+    ref_sums, ref_mins = _numpy_reference(cell, vals, minv, n2)
+    np.testing.assert_allclose(
+        np.asarray(sums)[:, : len(vals)], ref_sums, rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(np.asarray(mins), ref_mins)
+
+
+def test_kernel_random_sorted():
+    n2 = 96 * 96
+    p = 4096
+    rng = np.random.default_rng(0)
+    cell = np.sort(rng.integers(0, n2 + 1, p)).astype(np.int32)
+    vals = [rng.standard_normal(p).astype(np.float32) for _ in range(5)]
+    minv = np.where(
+        rng.random(p) < 0.7, rng.standard_normal(p), FLT_MAX
+    ).astype(np.float32)
+    _check(cell, vals, minv, n2)
+
+
+def test_kernel_edge_distributions():
+    n2 = 96 * 96
+    p = 2048
+    rng = np.random.default_rng(1)
+    vals = [rng.standard_normal(p).astype(np.float32) for _ in range(3)]
+    minv = rng.standard_normal(p).astype(np.float32)
+
+    # all points in one cell (a full dense block + empty blocks elsewhere)
+    _check(np.full(p, 4711, np.int32), vals, minv, n2)
+    # all points in the overflow/padding bin
+    _check(np.full(p, n2, np.int32), vals, minv, n2)
+    # points straddling block boundaries (cells around multiples of 1024)
+    cell = np.sort(
+        (1024 * rng.integers(0, n2 // 1024, p) + rng.integers(-2, 3, p)).clip(0, n2)
+    ).astype(np.int32)
+    _check(cell, vals, minv, n2)
+
+
+def test_rasterize_sorted_matches_scatter(small_config, small_scans):
+    """rasterize_sorted (interpret) == rasterize on identical sorted input."""
+    cfg = small_config
+    pts, labels, T = small_scans[0]
+    mv, _, _ = tf.scan_poses(T)
+    x, y, z = tf.transform_points_soa(np.asarray(mv), pts[:, 0], pts[:, 1], pts[:, 2])
+    p = cfg.max_points
+    pad = p - len(x)
+    x = jnp.asarray(np.concatenate([x, np.zeros(pad, np.float32)]))
+    y = jnp.asarray(np.concatenate([y, np.zeros(pad, np.float32)]))
+    z = jnp.asarray(np.concatenate([z, np.zeros(pad, np.float32)]))
+    rings = jnp.asarray(np.concatenate([labels, np.zeros(pad)]).astype(np.int32))
+    valid = jnp.asarray((np.arange(p) < len(pts)).astype(np.int32))
+    origin = jnp.asarray(mv[:3, 3])
+    center = jnp.asarray(mv[:2, 3])
+
+    binning = rasterlib.bin_points(cfg, center, x, y, z, rings, valid > 0, origin)
+    order = np.argsort(np.asarray(binning.cell), kind="stable")
+    binning = jax.tree.map(lambda a: a[order], binning)
+    z_s = z[order]
+    accept = binning.inmap & ~binning.ignored
+
+    want = rasterlib.rasterize(cfg, binning, z_s, origin, accept, with_max=False)
+
+    import unittest.mock as mock
+
+    # run the Pallas kernel in interpreter mode (no TPU in CI)
+    with mock.patch("groundgrid_tpu.ops.pallas_raster.raster_sums_min", _interp_rsm):
+        got = rasterlib.rasterize_sorted(cfg, binning, z_s, origin, accept)
+
+    for name in want._fields:
+        if name == "max_ground_height":
+            continue  # sorted path leaves the dead layer at its reset value
+        a, b = np.asarray(getattr(want, name)), np.asarray(getattr(got, name))
+        mask = np.isfinite(a) & (np.abs(a) < 1e30)
+        np.testing.assert_allclose(
+            b[mask], a[mask], rtol=1e-4, atol=1e-4, err_msg=name
+        )
+        np.testing.assert_array_equal(b[~mask], a[~mask], err_msg=name)
+
+
+def _interp_rsm(cell, b_all, minv, n2):
+    return raster_sums_min(cell, b_all, minv, n2, interpret=True)
+
+
+def test_prepare_scan_device_binning_sorted(small_config, small_scans):
+    """Host-predicted cell order == device binning order (bit-exact path)."""
+    from groundgrid_tpu.pipeline import CenterTracker, prepare_scan
+
+    cfg = small_config
+    tracker = None
+    for pts, labels, T in small_scans:
+        pos = T[:2, 3].astype(np.float32)
+        if tracker is None:
+            tracker = CenterTracker(cfg, pos)
+        center = tracker.update(pos)
+        scan, order = prepare_scan(cfg, pts, labels, T, center)
+        binning = rasterlib.bin_points(
+            cfg, scan.center, scan.px, scan.py, scan.pz, scan.rings,
+            scan.valid > 0, scan.t_map_velo[:3, 3],
+        )
+        cell = np.asarray(binning.cell)
+        assert (np.diff(cell) >= 0).all(), "device binning disagrees with host sort"
+        assert order.shape == (cfg.max_points,)
+
+
+def test_sorted_pipeline_matches_default(small_config, small_scans):
+    """Full sorted-scan pipeline (host prep + center passing + XLA raster on
+    permuted points) agrees with the default pipeline on the same stream."""
+    from groundgrid_tpu.pipeline import init_state, make_step, pad_scan, prepare_scan, CenterTracker
+
+    cfg = small_config
+    sorted_cfg = GroundGridConfig(**{
+        **{f.name: getattr(cfg, f.name) for f in cfg.__dataclass_fields__.values()},
+        "sorted_scans": True,
+    })
+
+    step = make_step(cfg)
+    step_s = make_step(sorted_cfg)
+    state = state_s = None
+    tracker = None
+    total = agree = 0
+    for pts, labels, T in small_scans:
+        scan = pad_scan(cfg, pts, labels, T)
+        pos = T[:2, 3].astype(np.float32)
+        if tracker is None:
+            tracker = CenterTracker(cfg, pos)
+        scan_s, order = prepare_scan(sorted_cfg, pts, labels, T, tracker.update(pos))
+        if state is None:
+            state = init_state(cfg, np.asarray(T, np.float32))
+            state_s = init_state(sorted_cfg, np.asarray(T, np.float32))
+        state, out = step(state, scan)
+        state_s, out_s = step_s(state_s, scan_s)
+
+        lbl = np.asarray(out.labels)
+        lbl_s = np.empty_like(lbl)
+        lbl_s[order] = np.asarray(out_s.labels)
+        total += len(lbl)
+        agree += int((lbl == lbl_s).sum())
+        # centers evolve identically
+        np.testing.assert_array_equal(
+            np.asarray(state.center), np.asarray(state_s.center)
+        )
+    assert agree / total > 0.999, f"sorted-vs-default agreement {agree/total:.4%}"
