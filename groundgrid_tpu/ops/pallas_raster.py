@@ -46,7 +46,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 FLT_MAX = np.float32(np.finfo(np.float32).max)
 
-CHUNK = 256  # points per matmul chunk
+ROW = 128  # input row width: the (P,) -> (P/ROW, ROW) reshape is a pure
+# bitcast only at 128 lanes (1-D T(1024) tiling == 2-D T(8,128) row-major);
+# wider minor dims drag serial relayout copies into the pipeline
+CHUNK = 256  # points per matmul chunk (= 2 input rows, lane-concatenated)
 CB = 1024  # cells per kernel-grid block
 NW = 8  # hi-groups per block (CB / 128)
 NK = 16  # value columns (5 used; padded so B's lane width is a full tile)
@@ -71,7 +74,7 @@ def _kernel(row_lo_ref, row_hi_ref, cell_ref, minv_ref, b_hbm,
     sums_ref[:] = jnp.zeros_like(sums_ref)
     mins_ref[:] = jnp.full_like(mins_ref, FLT_MAX)
 
-    r_iota = lax.broadcasted_iota(jnp.int32, (128, CHUNK), 0)
+    r_iota = lax.broadcasted_iota(jnp.int32, (128, ROW), 0)
 
     def dma(i, slot):
         return pltpu.make_async_copy(
@@ -81,11 +84,14 @@ def _kernel(row_lo_ref, row_hi_ref, cell_ref, minv_ref, b_hbm,
         )
 
     def compute(i, slot):
-        row = lo + i
-        cells = cell_ref[pl.ds(row, 1), :]  # (1, CHUNK) i32
+        row = (lo + i) * (CHUNK // ROW)
+        cells = cell_ref[pl.ds(row, 2), :]  # (2, ROW) i32
         in_blk = (cells // CB) == g
-        a_mask = ((cells % 128) == r_iota) & in_blk  # (128, CHUNK)
-        a = a_mask.astype(jnp.float32)
+        # two half-chunk masks in natural layout, lane-concat for the matmul
+        lo_eq = (cells % 128)
+        m0 = (lo_eq[0:1] == r_iota) & in_blk[0:1]  # (128, ROW)
+        m1 = (lo_eq[1:2] == r_iota) & in_blk[1:2]
+        a = jnp.concatenate([m0, m1], axis=1).astype(jnp.float32)  # (128, CHUNK)
         # HIGHEST: the MXU's default bf16 input rounding would corrupt the
         # f32 value columns; A is exactly 0/1 so f32-emulation is exact.
         sums_ref[:] += jnp.dot(
@@ -94,12 +100,15 @@ def _kernel(row_lo_ref, row_hi_ref, cell_ref, minv_ref, b_hbm,
             precision=lax.Precision.HIGHEST,
         )
 
-        minrow = minv_ref[pl.ds(row, 1), :]  # (1, CHUNK)
+        minrow = minv_ref[pl.ds(row, 2), :]  # (2, ROW)
         w_all = (cells // 128) % NW
         cols = []
         for w in range(NW):
-            m = jnp.where(a_mask & (w_all == w), minrow, FLT_MAX)
-            cols.append(jnp.min(m, axis=1, keepdims=True))  # (128, 1)
+            v0 = jnp.where(m0 & (w_all[0:1] == w), minrow[0:1], FLT_MAX)
+            v1 = jnp.where(m1 & (w_all[1:2] == w), minrow[1:2], FLT_MAX)
+            cols.append(
+                jnp.min(jnp.minimum(v0, v1), axis=1, keepdims=True)
+            )  # (128, 1)
         mins_ref[:] = jnp.minimum(mins_ref[:], jnp.concatenate(cols, axis=1))
 
     @pl.when(nch > 0)
@@ -158,8 +167,9 @@ def raster_sums_min(cell_sorted, b_all, minv_sorted, n2: int, interpret: bool = 
     row_hi = jnp.minimum((pt[1:] + CHUNK - 1) // CHUNK, nch_total)
     row_hi = jnp.maximum(row_hi, row_lo)
 
-    cell2d = cell_sorted.reshape(nch_total, CHUNK)
-    minv2d = minv_sorted.reshape(nch_total, CHUNK)
+    # minor dim ROW=128: these reshapes are bitcasts, not relayout copies
+    cell2d = cell_sorted.reshape(p // ROW, ROW)
+    minv2d = minv_sorted.reshape(p // ROW, ROW)
 
     sums, mins = pl.pallas_call(
         _kernel,
