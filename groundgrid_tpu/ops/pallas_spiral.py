@@ -3,24 +3,34 @@
 Same math as :mod:`groundgrid_tpu.core.interpolate` (the exact affine-
 recurrence formulation of ``GroundSegmentation.cpp:398-465``), but the entire
 center-outward sweep runs inside ONE kernel with both grid layers resident in
-VMEM (384^2 x f32 x 2 ~= 1.2 MB << 16 MB), eliminating the per-ring XLA op
-dispatch that dominates the lax.scan version (~24 ms on a v5e).
+VMEM, eliminating the per-ring XLA op dispatch that dominates the lax.scan
+version (~24 ms on a v5e).
 
-Layout strategy (Mosaic constrains dynamic slices to 8-aligned sublanes /
-128-aligned lanes):
-  * grids are zero-padded to PAD x PAD (PAD = next multiple of 128 covering
-    N+3) so every aligned block load stays in bounds;
-  * a ring side at dynamic offset is reached by loading an *aligned* block
-    around it, ``pltpu.roll``-ing by the in-block offset so the 3-wide
-    stencil band lands at static positions, computing, then writing back the
-    whole block through an iota-masked select (aligned store);
-  * column segments transpose their 3-wide band to lane-major form so all
-    arithmetic (stencil + Hillis-Steele affine scan) runs on (1, PAD)/(3,
-    PAD) lane vectors -- the VPU-friendly shape -- and transpose the single
-    updated row back.
+Quad-sweep layout (v2). The ring walk's column segments are the expensive
+half of the naive kernel (wide lane-blocked loads + lane rolls + band
+transposes: 0.73 of 1.26 ms/scan measured), so the kernel keeps a SECOND,
+transposed copy of both layers and processes every segment as a cheap
+row-oriented band update:
 
-The walk order, the twice-visited ring corners and the affine recurrence all
-match the sequential reference exactly (see tests/test_pallas_spiral.py).
+    top row     -> row ``i``     of (H, C)
+    left column -> row ``i``     of (HT, CT)   (HT[a, b] == H[b, a])
+    bottom row  -> row ``outer`` of (H, C)
+    right column-> row ``outer`` of (HT, CT)
+
+The two copies only interact at the ring corners: each segment reads at most
+three cells most recently written by another segment of the same or previous
+ring *in the other orientation*. Those values are injected into the loaded
+3-row stencil band as masked lane selects from the producing segment's
+updated row (carried as (1, PAD) registers across the fori_loop), and stale
+copies are provably never read un-injected -- the full cell-by-cell foreign-
+read enumeration is in the test suite's exactness check against the
+sequential oracle. The final grids merge by last-writer masks: strict W/E
+triangles + both main-diagonal halves + the upper anti-diagonal come from the
+transposed copy (left/right segments write those last, including the
+twice-visited corners), everything else from the row copy.
+
+Walk order, twice-visited corners and the affine recurrence all match the
+sequential reference exactly (see tests/test_pallas_spiral.py).
 """
 
 from __future__ import annotations
@@ -29,6 +39,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -36,14 +47,12 @@ from jax.experimental.pallas import tpu as pltpu
 from groundgrid_tpu.config import GroundGridConfig
 
 FLT_TINY = float(jnp.finfo(jnp.float32).tiny)  # C++ FLT_MIN
-ROW_BLK = 16  # sublane block height for row segments (8-aligned loads)
-COL_BLK = 256  # lane block width for column segments (128-aligned loads)
+ROW_BLK = 16  # sublane block height for band loads (8-aligned)
 
 
 def pad_size(n: int) -> int:
     """Smallest multiple of 128 that fits every block access (>= n + 3)."""
-    p = ((n + 3 + 127) // 128) * 128
-    return max(p, COL_BLK)
+    return ((n + 3 + 127) // 128) * 128
 
 
 def _roll(x, shift, axis):
@@ -127,7 +136,16 @@ def _band_update(config: GroundGridConfig, bh, bc, fixed, lo, hi, descending):
     return h_new, c_new
 
 
-def _row_segment(config, h_ref, c_ref, fixed, lo, hi, descending, pad):
+def _segment(config, h_ref, c_ref, fixed, lo, hi, descending, pad, injections):
+    """Row-band segment update with corner injections.
+
+    ``injections``: list of ``(band_row, dest_lane, src_h, src_c, shift)`` --
+    patch band row ``band_row`` (0/1/2 == fixed-1/fixed/fixed+1) at lane
+    ``dest_lane`` with the other-orientation value ``src[dest_lane - shift]``
+    (``src`` is a (1, PAD) updated row from an earlier segment).
+
+    Returns the updated ``(h_new, c_new)`` (1, PAD) rows.
+    """
     base = pl.multiple_of((fixed - 1) // 8 * 8, 8)
     off = fixed - 1 - base
     blk_h = h_ref[pl.ds(base, ROW_BLK), :]
@@ -135,55 +153,103 @@ def _row_segment(config, h_ref, c_ref, fixed, lo, hi, descending, pad):
     # rotate the stencil band to static rows [0, 3)
     sh = pltpu.roll(blk_h, (ROW_BLK - off) % ROW_BLK, axis=0)
     sc = pltpu.roll(blk_c, (ROW_BLK - off) % ROW_BLK, axis=0)
-    h_new, c_new = _band_update(config, sh[0:3], sc[0:3], fixed, lo, hi, descending)
+
+    rows_h = [sh[0:1], sh[1:2], sh[2:3]]
+    rows_c = [sc[0:1], sc[1:2], sc[2:3]]
+    lane = lax.broadcasted_iota(jnp.int32, (1, pad), 1)
+    for band_row, dest, src_h, src_c, shift in injections:
+        sel = lane == dest
+        rows_h[band_row] = jnp.where(sel, _roll(src_h, shift, 1), rows_h[band_row])
+        rows_c[band_row] = jnp.where(sel, _roll(src_c, shift, 1), rows_c[band_row])
+    bh = jnp.concatenate(rows_h, axis=0)
+    bc = jnp.concatenate(rows_c, axis=0)
+
+    h_new, c_new = _band_update(config, bh, bc, fixed, lo, hi, descending)
 
     rows = lax.broadcasted_iota(jnp.int32, (ROW_BLK, pad), 0)
     sel = rows == (off + 1)
     h_ref[pl.ds(base, ROW_BLK), :] = jnp.where(sel, h_new, blk_h)
     c_ref[pl.ds(base, ROW_BLK), :] = jnp.where(sel, c_new, blk_c)
+    return h_new, c_new
 
 
-def _col_segment(config, h_ref, c_ref, fixed, lo, hi, descending, pad):
-    base = jnp.minimum((fixed - 1) // 128 * 128, pad - COL_BLK)
-    base = pl.multiple_of(base, 128)
-    off = fixed - 1 - base
-    blk_h = h_ref[:, pl.ds(base, COL_BLK)]
-    blk_c = c_ref[:, pl.ds(base, COL_BLK)]
-    sh = pltpu.roll(blk_h, (COL_BLK - off) % COL_BLK, axis=1)
-    sc = pltpu.roll(blk_c, (COL_BLK - off) % COL_BLK, axis=1)
-    # lane-major stencil band: (PAD, 3) -> (3, PAD)
-    bh = jnp.swapaxes(sh[:, 0:3], 0, 1)
-    bc = jnp.swapaxes(sc[:, 0:3], 0, 1)
-    h_new, c_new = _band_update(config, bh, bc, fixed, lo, hi, descending)
-
-    lanes = lax.broadcasted_iota(jnp.int32, (pad, COL_BLK), 1)
-    sel = lanes == (off + 1)
-    h_col = jnp.swapaxes(h_new, 0, 1)  # (PAD, 1)
-    c_col = jnp.swapaxes(c_new, 0, 1)
-    h_ref[:, pl.ds(base, COL_BLK)] = jnp.where(sel, h_col, blk_h)
-    c_ref[:, pl.ds(base, COL_BLK)] = jnp.where(sel, c_col, blk_c)
-
-
-def _spiral_kernel(config: GroundGridConfig, pad, z_ref, h_in, c_in, h_ref, c_ref):
-    # h_in/c_in alias h_ref/c_ref (input_output_aliases): in-place update.
-    del h_in, c_in
+def _spiral_kernel(config: GroundGridConfig, pad,
+                   z_ref, h_in, c_in, ht_in, ct_in, h_ref, c_ref, ht_ref, ct_ref):
+    # inputs alias outputs (input_output_aliases): in-place updates.
+    del h_in, c_in, ht_in, ct_in
     c_idx = config.center_cell
+    z = z_ref[0, 0]
 
-    # seed center cell (GroundSegmentation.cpp:405-411)
-    h_ref[pl.ds(c_idx, 1), pl.ds(c_idx, 1)] = jnp.full((1, 1), z_ref[0, 0])
-    c_ref[pl.ds(c_idx, 1), pl.ds(c_idx, 1)] = jnp.ones((1, 1), jnp.float32)
+    # seed center cell in both orientations (GroundSegmentation.cpp:405-411)
+    for ref, val in ((h_ref, z), (ht_ref, z)):
+        ref[pl.ds(c_idx, 1), pl.ds(c_idx, 1)] = jnp.full((1, 1), val)
+    for ref in (c_ref, ct_ref):
+        ref[pl.ds(c_idx, 1), pl.ds(c_idx, 1)] = jnp.ones((1, 1), jnp.float32)
 
-    def ring(k, _):
+    seg = functools.partial(_segment, config)
+
+    def ring(k, carry):
+        # carried (1, PAD) rows: last ring's W / E / S updated rows (both
+        # layers), the corner sources for this ring's foreign reads
+        w_h, w_c, e_h, e_c, s_h, s_c = carry
         i = c_idx - 1 - k
         outer = 2 * c_idx - i
-        # reference walk order (GroundSegmentation.cpp:421-439)
-        _row_segment(config, h_ref, c_ref, i, i, outer, False, pad)  # top ->
-        _col_segment(config, h_ref, c_ref, i, i, outer, False, pad)  # left v
-        _row_segment(config, h_ref, c_ref, outer, i, outer + 1, True, pad)  # bottom <-
-        _col_segment(config, h_ref, c_ref, outer, i, outer + 1, True, pad)  # right ^
-        return 0
 
-    lax.fori_loop(0, c_idx - 1, ring, 0)
+        # N: top row i, ascending (reference walk order, cpp:421-439).
+        # foreign reads: (i+1, i+1) <- W(k-1) double-visit [same lane],
+        # (i+1, outer-1) <- E(k-1) [its lane i+1]
+        n_h, n_c = seg(h_ref, c_ref, i, i, outer, False, pad, [
+            (2, i + 1, w_h, w_c, 0),
+            (2, outer - 1, e_h, e_c, outer - i - 2),
+        ])
+        # W: left column == HT row i, ascending.
+        # foreign: (i, i) <- N(k) [lane i], (i, i+1) <- N(k) [lane i+1 -> i],
+        # (outer-1, i+1) <- S(k-1) [lane i+1 -> outer-1]
+        w_h, w_c = seg(ht_ref, ct_ref, i, i, outer, False, pad, [
+            (1, i, n_h, n_c, 0),
+            (2, i, n_h, n_c, -1),
+            (2, outer - 1, s_h, s_c, outer - i - 2),
+        ])
+        # S: bottom row outer, descending.
+        # foreign: (outer-1, i) <- W(k) [lane outer-1 -> i],
+        # (outer-1, outer-1) <- E(k-1) double-visit [same lane]
+        s_h, s_c = seg(h_ref, c_ref, outer, i, outer + 1, True, pad, [
+            (0, i, w_h, w_c, i - outer + 1),
+            (0, outer - 1, e_h, e_c, 0),
+        ])
+        # E: right column == HT row outer, descending.
+        # foreign: (i, outer-1) <- N(k) [lane outer-1 -> i],
+        # (outer, outer-1) <- S(k) [lane outer-1 -> outer],
+        # (outer, outer) <- S(k) double-visit [same lane]
+        e_h, e_c = seg(ht_ref, ct_ref, outer, i, outer + 1, True, pad, [
+            (0, i, n_h, n_c, i - outer + 1),
+            (0, outer, s_h, s_c, 1),
+            (1, outer, s_h, s_c, 0),
+        ])
+        return w_h, w_c, e_h, e_c, s_h, s_c
+
+    # ring-0 foreign reads all resolve to the seed cell (z, conf 1)
+    zrow = jnp.full((1, pad), z, jnp.float32)
+    ones = jnp.ones((1, pad), jnp.float32)
+    lax.fori_loop(0, c_idx - 1, ring, (zrow, ones, zrow, ones, zrow, ones))
+
+
+@functools.lru_cache(maxsize=8)
+def _owner_masks(n: int, c_idx: int):
+    """(N, N) bool: True where the transposed copy holds the final value.
+
+    Last-writer rule per ring (walk order top, left, bottom, right): the
+    left/right segments own the strict W/E triangles, the main diagonal
+    (both (i, i) and (outer, outer) are column-segment double-visits) and the
+    upper anti-diagonal corner (i, outer); the bottom segment (row copy) owns
+    the lower anti-diagonal corner (outer, i).
+    """
+    m = 2 * c_idx
+    r = np.arange(n)[:, None]
+    c = np.arange(n)[None, :]
+    d_r = np.minimum(r, m - r)
+    d_c = np.minimum(c, m - c)
+    return (d_c < d_r) | (r == c) | ((r + c == m) & (r < c_idx))
 
 
 def spiral_interpolation_pallas(
@@ -193,25 +259,23 @@ def spiral_interpolation_pallas(
     n = config.cell_count
     pad = pad_size(n)
     z = jnp.asarray(base_z, jnp.float32).reshape(1, 1)
-    gp = jnp.pad(ground, ((0, pad - n), (0, pad - n)))
-    cp = jnp.pad(groundpatch, ((0, pad - n), (0, pad - n)))
+    pad_spec = ((0, pad - n), (0, pad - n))
+    gp = jnp.pad(ground, pad_spec)
+    cp = jnp.pad(groundpatch, pad_spec)
+    gpt = jnp.pad(ground.T, pad_spec)
+    cpt = jnp.pad(groundpatch.T, pad_spec)
     kernel = functools.partial(_spiral_kernel, config, pad)
-    h, c = pl.pallas_call(
+    out = jax.ShapeDtypeStruct((pad, pad), jnp.float32)
+    h, c, ht, ct = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((pad, pad), jnp.float32),
-            jax.ShapeDtypeStruct((pad, pad), jnp.float32),
-        ),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ),
-        input_output_aliases={1: 0, 2: 1},
+        out_shape=(out, out, out, out),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(4)),
+        input_output_aliases={1: 0, 2: 1, 3: 2, 4: 3},
         interpret=interpret,
-    )(z, gp, cp)
-    return h[:n, :n], c[:n, :n]
+    )(z, gp, cp, gpt, cpt)
+    mask = jnp.asarray(_owner_masks(n, config.center_cell))
+    h_out = jnp.where(mask, ht[:n, :n].T, h[:n, :n])
+    c_out = jnp.where(mask, ct[:n, :n].T, c[:n, :n])
+    return h_out, c_out

@@ -28,6 +28,6 @@ def test_pallas_matches_xla(small_config, seed):
 
 def test_pad_size():
     assert pad_size(364) == 384
-    assert pad_size(80) == 256  # COL_BLK floor
+    assert pad_size(80) == 128  # quad-sweep kernel has no lane-block floor
     assert pad_size(1200) == 1280
     assert pad_size(126) == 256  # 126+3 > 128
