@@ -49,11 +49,21 @@ def make_fleet_step(config: GroundGridConfig, mesh: Mesh, axis: str = "fleet"):
     B must be divisible by the mesh axis size. Each chip runs B/n local
     pipelines (vmap) and the fleet summary is an ICI ``psum``.
     """
-    # the raw (unjitted) single-step implementation, vmapped per chip
+    # The raw (unjitted) single-step implementation, batched per chip.
+    # Sorted-scan pipelines batch with lax.map (a compiled loop over the
+    # chip's vehicles): their Pallas kernels cannot be vmap-lifted, the
+    # sortedness-fallback cond would run both branches under vmap, and the
+    # serialized indexed ops mean vmap buys no cross-vehicle vectorization
+    # anyway (measured: batch=8 vmap is slower than 8 sequential steps).
     inner = make_step_fn(config)
+    batcher = (
+        (lambda f: lambda s, sc: jax.lax.map(lambda t: f(*t), (s, sc)))
+        if config.sorted_scans
+        else (lambda f: jax.vmap(f))
+    )
 
     def local_step(states: GridState, scans: Scan):
-        new_states, outs = jax.vmap(inner)(states, scans)
+        new_states, outs = batcher(inner)(states, scans)
         g = jnp.sum(outs.labels == 49)
         ng = jnp.sum(outs.labels == 99)
         ol = jnp.sum(outs.outlier)

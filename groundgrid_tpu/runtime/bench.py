@@ -105,13 +105,12 @@ def run_benchmark(
     enable_compilation_cache()
 
     platform = jax.devices()[0].platform
-    # streaming mode uses host-prepared sorted scans (scatter-free Pallas
-    # rasterizer); the fleet path keeps the scatter form for now (the
-    # sortedness-fallback cond would execute both branches under vmap)
+    # host-prepared sorted scans (scatter-free Pallas rasterizer); the fleet
+    # path batches with lax.map per chip (parallel/sharding.py)
     config = GroundGridConfig(
         resolution=resolution,
         dimension=dimension,
-        sorted_scans=(batch == 1 and platform == "tpu"),
+        sorted_scans=(platform == "tpu"),
     )
     _log(f"bench: platform={platform} grid={config.cell_count}^2 batch={batch} "
          f"sorted={config.sorted_scans}")

@@ -26,7 +26,7 @@ from groundgrid_tpu.parallel.sharding import (
     make_mesh,
     shard_fleet_pytree,
 )
-from groundgrid_tpu.pipeline import Scan, init_state
+from groundgrid_tpu.pipeline import CenterTracker, Scan, init_state, prepare_scan
 
 
 @dataclasses.dataclass
@@ -64,11 +64,34 @@ class FleetDriver:
         self.axis = axis
         self.step = make_fleet_step(config, self.mesh, axis)
         self.states = None  # batched GridState, fleet-sharded
+        # sorted-scan mode: per-vehicle host center trackers + the last
+        # applied per-vehicle sort permutations (see pipeline.prepare_scan)
+        self._trackers: List[CenterTracker] | None = None
+        self._orders: np.ndarray | None = None
 
     def _batch_scans(self, records: Sequence[ScanRecord]) -> Scan:
         cfg = self.config
         cap = cfg.max_points
         b = self.batch
+        if cfg.sorted_scans:
+            if self._trackers is None:
+                self._trackers = [
+                    CenterTracker(cfg, r.t_map_velo[:2, 3].astype(np.float32))
+                    for r in records
+                ]
+            scans, orders = [], []
+            for k, rec in enumerate(records):
+                center = self._trackers[k].update(
+                    rec.t_map_velo[:2, 3].astype(np.float32)
+                )
+                scan, order = prepare_scan(
+                    cfg, rec.points[:, :3], rec.labels, rec.t_map_velo, center
+                )
+                scans.append(jax.tree.map(np.asarray, scan))
+                orders.append(order)
+            self._orders = np.stack(orders)
+            batched = jax.tree.map(lambda *xs: np.stack(xs), *scans)
+            return shard_fleet_pytree(batched, self.mesh, self.axis)
         px = np.zeros((b, cap), np.float32)
         py = np.zeros((b, cap), np.float32)
         pz = np.zeros((b, cap), np.float32)
@@ -103,6 +126,13 @@ class FleetDriver:
         self.states, outs, summary = self.step(self.states, scans)
         labels = np.asarray(jax.device_get(outs.labels))
         outlier = np.asarray(jax.device_get(outs.outlier))
+        if self.config.sorted_scans and self._orders is not None:
+            restored_l = np.empty_like(labels)
+            restored_o = np.empty_like(outlier)
+            rows = np.arange(labels.shape[0])[:, None]
+            restored_l[rows, self._orders] = labels
+            restored_o[rows, self._orders] = outlier
+            labels, outlier = restored_l, restored_o
         return FleetTickResult(
             indices=[r.index for r in records],
             labels=labels,

@@ -178,3 +178,39 @@ def test_fleet_driver_matches_streaming(tiny_config):
             np.testing.assert_array_equal(
                 ticks[k].labels[v][: res.n_points], res.labels
             )
+
+
+def test_fleet_driver_sorted_matches_streaming(tiny_config):
+    """Sorted-scan fleet (lax.map batching + host prep) == sorted streaming."""
+    import dataclasses
+
+    from groundgrid_tpu.data.semantickitti import ScanRecord
+    from groundgrid_tpu.runtime.fleet import FleetDriver
+
+    cfg = dataclasses.replace(tiny_config, sorted_scans=True)
+    n_dev = len(jax.devices())
+    sequences = []
+    for v in range(n_dev):
+        recs = []
+        for k, (pts, lbl, T) in enumerate(
+            synthetic_sequence(2, seed=40 + v, n_beams=8, n_azimuth=128)
+        ):
+            recs.append(ScanRecord(
+                index=k, timestamp=0.1 * k,
+                points=np.concatenate([pts, np.zeros((len(pts), 1), np.float32)], 1),
+                labels=lbl, t_map_velo=T,
+            ))
+        sequences.append(recs)
+
+    fleet = FleetDriver(cfg, batch=n_dev)
+    ticks = list(fleet.run(sequences))
+    assert len(ticks) == 2
+    assert ticks[0].ground_points + ticks[0].nonground_points > 0
+
+    for v in range(n_dev):
+        driver = StreamingDriver(cfg)
+        for k, rec in enumerate(sequences[v]):
+            res = driver.process(rec)
+            np.testing.assert_array_equal(
+                ticks[k].labels[v][: res.n_points], res.labels
+            )
