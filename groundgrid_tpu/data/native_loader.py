@@ -65,6 +65,20 @@ def load_library(auto_build: bool = True) -> Optional[ctypes.CDLL]:
     lib.gg_loader_seek.argtypes = [ctypes.c_void_p, ctypes.c_int64]
     lib.gg_loader_destroy.restype = None
     lib.gg_loader_destroy.argtypes = [ctypes.c_void_p]
+    lib.gg_loader_create_sorted.restype = ctypes.c_void_p
+    lib.gg_loader_create_sorted.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_float), ctypes.c_float, ctypes.c_float,
+        ctypes.c_int32,
+    ]
+    lib.gg_loader_next_sorted.restype = ctypes.c_int64
+    lib.gg_loader_next_sorted.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+    ]
     _lib = lib
     return lib
 
@@ -141,6 +155,169 @@ class PrefetchingLoader:
                 points=self._pts[:c].copy(),
                 labels=self._lab[:c].copy(),
                 t_map_velo=self.ds.poses[idx],
+            )
+
+    def close(self) -> None:
+        if self._handle is not None:
+            self._lib.gg_loader_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+import dataclasses
+
+
+@dataclasses.dataclass
+class PreparedRecord:
+    """A device-ready, host-prepared (sorted-scan mode) scan.
+
+    ``scan`` is a pipeline :class:`~groundgrid_tpu.pipeline.Scan`: map-frame
+    SoA coordinates sorted by predicted flat cell id, with the host-tracked
+    grid center attached. ``order`` is the applied permutation
+    (``sorted = original[order]``); per-point outputs restore with
+    ``out[order] = sorted_out``. ``labels`` are the original-order ground
+    truth labels (for host-side evaluation).
+    """
+
+    index: int
+    timestamp: float
+    scan: object  # pipeline.Scan
+    order: np.ndarray
+    n_points: int
+    labels: np.ndarray
+    t_map_velo: np.ndarray
+
+
+class SortedPrefetchingLoader:
+    """Native threaded loader emitting fully prepared sorted scans.
+
+    The per-scan host work of ``config.sorted_scans`` pipelines -- file read,
+    label unpack, map-frame transform, cell binning against the host-tracked
+    center and the stable cell sort -- all runs in C++ prefetch threads
+    (native/loader.cpp ``prep_scan``), bit-identical to
+    ``pipeline.prepare_scan`` (verified by tests/test_native_loader.py).
+    Falls back to the NumPy prep when the native library is unavailable.
+    """
+
+    def __init__(
+        self,
+        dataset: SemanticKITTI,
+        config,
+        n_threads: int = 4,
+        queue_depth: int = 8,
+    ):
+        from groundgrid_tpu.pipeline import CenterTracker
+
+        self.ds = dataset
+        self.config = config
+        cap = config.max_points
+        self.cap = cap
+        n = len(dataset)
+        # host-tracked center recurrence over the whole sequence (poses are
+        # known upfront -- the reference's poses.txt), so out-of-order
+        # prefetch workers can bin any scan
+        self._poses = np.ascontiguousarray(
+            np.stack([np.asarray(dataset.poses[i], np.float64) for i in range(n)])
+        )
+        centers = np.empty((n, 2), np.float32)
+        tracker = None
+        for i in range(n):
+            pos = self._poses[i, :2, 3].astype(np.float32)
+            if tracker is None:
+                tracker = CenterTracker(config, pos)
+            centers[i] = tracker.update(pos)
+        self._centers = np.ascontiguousarray(centers)
+
+        self._lib = load_library()
+        self._handle = None
+        if self._lib is not None and n > 0:
+            self._handle = ctypes.c_void_p(
+                self._lib.gg_loader_create_sorted(
+                    self.ds.root.encode(), n, cap, n_threads, queue_depth,
+                    self._poses.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                    self._centers.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    ctypes.c_float(config.resolution),
+                    ctypes.c_float(config.half_length),
+                    config.cell_count,
+                )
+            )
+        self._px = np.empty((cap,), np.float32)
+        self._py = np.empty((cap,), np.float32)
+        self._pz = np.empty((cap,), np.float32)
+        self._lab = np.empty((cap,), np.int32)
+        self._order = np.empty((cap,), np.int32)
+        self._fallback_start = 0
+
+    @property
+    def native(self) -> bool:
+        return self._handle is not None
+
+    def seek(self, index: int) -> None:
+        if self._handle is not None:
+            self._lib.gg_loader_seek(self._handle, index)
+        self._fallback_start = index
+
+    def __iter__(self):
+        import jax.numpy as jnp
+
+        from groundgrid_tpu.core import transforms as tf
+        from groundgrid_tpu.pipeline import Scan, prepare_scan
+
+        cfg = self.config
+        if self._handle is None:
+            # NumPy fallback: same outputs via pipeline.prepare_scan
+            for idx in range(self._fallback_start, len(self.ds)):
+                rec = self.ds.read_scan(idx)
+                scan, order = prepare_scan(
+                    cfg, rec.points[:, :3], rec.labels, rec.t_map_velo,
+                    self._centers[idx],
+                )
+                count = min(rec.points.shape[0], self.cap)
+                yield PreparedRecord(
+                    index=idx, timestamp=rec.timestamp, scan=scan, order=order,
+                    n_points=count, labels=rec.labels[:count],
+                    t_map_velo=self._poses[idx],
+                )
+            return
+        count = ctypes.c_int32(0)
+        while True:
+            idx = self._lib.gg_loader_next_sorted(
+                self._handle,
+                self._px.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                self._py.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                self._pz.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                self._lab.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                self._order.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                ctypes.byref(count),
+            )
+            if idx < 0:
+                if idx == -2:
+                    raise IOError("native loader failed to read a scan")
+                return
+            idx = int(idx)
+            c = min(int(count.value), self.cap)
+            order = self._order.copy()
+            mv, mb, bm = tf.scan_poses(self._poses[idx])
+            scan = Scan(
+                px=jnp.asarray(self._px), py=jnp.asarray(self._py),
+                pz=jnp.asarray(self._pz), rings=jnp.asarray(self._lab),
+                valid=jnp.asarray((order < c).astype(np.int32)),
+                t_map_velo=jnp.asarray(mv), t_map_base=jnp.asarray(mb),
+                t_base_map=jnp.asarray(bm),
+                center=jnp.asarray(self._centers[idx]),
+            )
+            restored = np.empty((self.cap,), np.int32)
+            restored[order] = self._lab
+            yield PreparedRecord(
+                index=idx,
+                timestamp=float(self.ds.times[idx]),
+                scan=scan, order=order, n_points=c,
+                labels=restored[:c], t_map_velo=self._poses[idx],
             )
 
     def close(self) -> None:

@@ -22,6 +22,20 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--max-points", type=int, default=131072)
     p.add_argument("--start", type=float, default=0.0, help="start seconds (player start)")
     p.add_argument("--end", type=float, default=float("inf"), help="end seconds (player end)")
+    p.add_argument(
+        "--sorted", dest="sorted_scans", action="store_true", default=None,
+        help="sorted-scan mode: host-prepared scans + scatter-free Pallas "
+             "rasterizer (default: on when running on TPU)",
+    )
+    p.add_argument("--no-sorted", dest="sorted_scans", action="store_false")
+
+
+def _sorted_mode(args) -> bool:
+    if getattr(args, "sorted_scans", None) is not None:
+        return bool(args.sorted_scans)
+    import jax
+
+    return jax.default_backend() == "tpu"
 
 
 def _config(args):
@@ -31,6 +45,7 @@ def _config(args):
         dimension=args.dimension,
         resolution=args.resolution,
         max_points=args.max_points,
+        sorted_scans=_sorted_mode(args),
     )
 
 
@@ -56,9 +71,19 @@ def cmd_evaluate(args) -> int:
     accumulating one confusion table.
     """
     from groundgrid_tpu.data.semantickitti import SemanticKITTI
-    from groundgrid_tpu.data.native_loader import PrefetchingLoader
+    from groundgrid_tpu.data.native_loader import (
+        PrefetchingLoader, SortedPrefetchingLoader,
+    )
     from groundgrid_tpu.eval.metrics import Evaluator
     from groundgrid_tpu.runtime.driver import StreamingDriver
+
+    def _records(ds, cfg):
+        """Best available record stream for the config (native prep > raw)."""
+        if not args.native_loader:
+            return ds.iter_scans(args.start, args.end)
+        if cfg.sorted_scans:
+            return SortedPrefetchingLoader(ds, cfg)
+        return PrefetchingLoader(ds, cap=args.max_points)
 
     sequences = _parse_sequences(str(args.sequence))
     name = sequences[0] if len(sequences) == 1 else ",".join(sequences)
@@ -72,12 +97,9 @@ def cmd_evaluate(args) -> int:
         ev = HostEval(name)
         for seq in sequences:
             ds = SemanticKITTI(args.directory, seq)
-            records = (
-                PrefetchingLoader(ds, cap=args.max_points)
-                if args.native_loader
-                else ds.iter_scans(args.start, args.end)
+            seq_ev, stats = evaluate_records(
+                _config(args), _records(ds, _config(args)), seq
             )
-            seq_ev, stats = evaluate_records(_config(args), records, seq)
             per_seq[seq] = seq_ev.compute().as_dict()
             ev.nonground_count += seq_ev.nonground_count
             ev.true_positive += seq_ev.true_positive
@@ -92,12 +114,7 @@ def cmd_evaluate(args) -> int:
             ds = SemanticKITTI(args.directory, seq)
             driver.reset()
             seq_ev = Evaluator(seq)
-            records = (
-                PrefetchingLoader(ds, cap=args.max_points)
-                if args.native_loader
-                else ds.iter_scans(args.start, args.end)
-            )
-            for rec in records:
+            for rec in _records(ds, driver.config):
                 res = driver.process(rec)
                 if res is None:
                     continue

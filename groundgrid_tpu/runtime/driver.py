@@ -161,8 +161,12 @@ class StreamingDriver:
             t_map_velo=jnp.asarray(mv), t_map_base=jnp.asarray(mb), t_base_map=jnp.asarray(bm),
         )
 
-    def process(self, rec: ScanRecord) -> Optional[ScanResult]:
+    def process(self, rec) -> Optional[ScanResult]:
         """Run one scan (odometry update + segmentation), blocking.
+
+        ``rec`` is a :class:`ScanRecord` (host prep happens here) or a
+        :class:`~groundgrid_tpu.data.native_loader.PreparedRecord` (host prep
+        already done by the native sorted loader's prefetch threads).
 
         Degraded-mode semantics as explicit states (the reference drops scans
         when transforms are unavailable, GroundGridNodelet.cpp:124-136):
@@ -172,12 +176,32 @@ class StreamingDriver:
         if not np.isfinite(rec.t_map_velo).all():
             log.warning("dropping scan %d: non-finite pose", rec.index)
             return None
+        prepared = getattr(rec, "scan", None)
         if self.step is None:
-            self._compile(rec)
+            if prepared is not None:
+                from groundgrid_tpu.pipeline import compile_step_verified
+                import jax as _jax
+
+                if _jax.default_backend() == "tpu":
+                    probe_state = init_state(
+                        self.config, rec.t_map_velo.astype(np.float32))
+                    self.step, ms = compile_step_verified(
+                        self.config, probe_state, prepared, with_aux=self.with_aux)
+                    log.info("compiled step executable: %.2f ms/step probe", ms)
+                else:
+                    self.step = make_step(self.config, with_aux=self.with_aux)
+            else:
+                self._compile(rec)
         t0 = time.perf_counter()
         if self.state is None:
             self.state = init_state(self.config, rec.t_map_velo.astype(np.float32))
-        scan = self._make_scan(rec)
+        if prepared is not None:
+            if not self.config.sorted_scans:
+                raise ValueError("PreparedRecord requires a sorted_scans config")
+            scan = prepared
+            self._last_order = rec.order
+        else:
+            scan = self._make_scan(rec)
         out = self.step(self.state, scan)
         if self.with_aux:
             self.state, step_out, aux = out
@@ -196,7 +220,7 @@ class StreamingDriver:
         ms = (time.perf_counter() - t0) * 1000.0
         self.stats.update(ms)
 
-        n = rec.points.shape[0]
+        n = rec.n_points if prepared is not None else rec.points.shape[0]
         if n > labels.shape[0]:
             # scan exceeded config.max_points: overflow points were never
             # processed; report them as dropped (label 0) so the output

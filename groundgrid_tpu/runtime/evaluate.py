@@ -41,14 +41,27 @@ def evaluate_records(
     for rec in records:
         if not np.isfinite(rec.t_map_velo).all():
             continue
-        if driver.step is None:
+        prepared = getattr(rec, "scan", None)  # native sorted loader output
+        if driver.step is None and prepared is None:
             driver._compile(rec)
+        elif driver.step is None:
+            import jax
+
+            from groundgrid_tpu.pipeline import (
+                compile_step_verified, init_state, make_step,
+            )
+
+            if jax.default_backend() == "tpu":
+                probe = init_state(config, rec.t_map_velo.astype(np.float32))
+                driver.step, _ = compile_step_verified(config, probe, prepared)
+            else:
+                driver.step = make_step(config)
         t0 = time.perf_counter()
         if driver.state is None:
             from groundgrid_tpu.pipeline import init_state
 
             driver.state = init_state(config, rec.t_map_velo.astype(np.float32))
-        scan = driver._make_scan(rec)
+        scan = prepared if prepared is not None else driver._make_scan(rec)
         driver.state, out = driver.step(driver.state, scan)
         dev_eval.add_cloud_device(out.labels, scan.rings)
         stats.update((time.perf_counter() - t0) * 1000.0)

@@ -14,6 +14,7 @@
 // C ABI only (consumed via ctypes from groundgrid_tpu/data/native_loader.py).
 
 #include <atomic>
+#include <cmath>
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
@@ -33,6 +34,27 @@ struct Slot {
   int32_t status = 0;          // 0 ok, <0 errno-style failure
   std::vector<float> points;   // cap * 4
   std::vector<int32_t> labels; // cap
+  // sorted-scan preparation outputs (prep mode only): map-frame SoA
+  // coordinates, labels and the applied permutation, all cell-sorted
+  std::vector<float> sx, sy, sz;
+  std::vector<int32_t> slabels;
+  std::vector<int32_t> order;
+};
+
+// Sorted-scan preparation parameters (gg_loader_create_sorted): the per-scan
+// poses and pre-tracked grid centers for the whole sequence, plus the grid
+// geometry. The cell prediction must be bit-exact with the device binning
+// (core/rasterize.py bin_points): f32 center+half add, f32 multiply by the
+// f32 reciprocal of the resolution (TPU f32 division is not IEEE-exact, so
+// the device multiplies too), floorf. Compile with -ffp-contract=off so the
+// compiler cannot fuse these into FMAs the device won't perform.
+struct Prep {
+  bool enabled = false;
+  std::vector<double> poses;   // n_scans * 16, row-major map<-velo
+  std::vector<float> centers;  // n_scans * 2
+  float inv_res = 0.0f;
+  float half = 0.0f;
+  int32_t n = 0;
 };
 
 struct Loader {
@@ -52,7 +74,59 @@ struct Loader {
   size_t max_queue = 8;
   std::vector<std::thread> workers;
   std::atomic<bool> stop{false};
+  Prep prep;
 };
+
+// Map-frame transform + cell-sorted reorder (pipeline.prepare_scan in C++).
+// Stable counting sort by flat cell id reproduces numpy's stable argsort
+// bit-for-bit, so the emitted scan is byte-identical to the Python prep.
+void prep_scan(const Loader& L, int64_t idx, Slot& s) {
+  const double* T = L.prep.poses.data() + (size_t)idx * 16;
+  const float c0h = L.prep.centers[2 * idx] + L.prep.half;
+  const float c1h = L.prep.centers[2 * idx + 1] + L.prep.half;
+  const float inv_res = L.prep.inv_res;
+  const int32_t n = L.prep.n;
+  const int64_t n2 = (int64_t)n * n;
+  const int32_t cap = L.cap;
+  const int32_t count = s.count;
+
+  std::vector<float> mx(cap, 0.0f), my(cap, 0.0f), mz(cap, 0.0f);
+  std::vector<int32_t> cells(cap, (int32_t)n2);
+  for (int32_t i = 0; i < count; ++i) {
+    const double x = s.points[(size_t)i * 4 + 0];
+    const double y = s.points[(size_t)i * 4 + 1];
+    const double z = s.points[(size_t)i * 4 + 2];
+    const float xf = (float)(T[0] * x + T[1] * y + T[2] * z + T[3]);
+    const float yf = (float)(T[4] * x + T[5] * y + T[6] * z + T[7]);
+    const float zf = (float)(T[8] * x + T[9] * y + T[10] * z + T[11]);
+    mx[i] = xf;
+    my[i] = yf;
+    mz[i] = zf;
+    const float g0 = std::floor((c0h - xf) * inv_res);
+    const float g1 = std::floor((c1h - yf) * inv_res);
+    if (g0 >= 0.0f && g0 < (float)n && g1 >= 0.0f && g1 < (float)n)
+      cells[i] = (int32_t)g0 * n + (int32_t)g1;
+  }
+
+  // stable counting sort: cnt[c+1] = #points with cell < c+1 after scan
+  std::vector<int32_t> cnt((size_t)n2 + 2, 0);
+  for (int32_t i = 0; i < cap; ++i) cnt[(size_t)cells[i] + 1]++;
+  for (size_t c = 1; c < cnt.size(); ++c) cnt[c] += cnt[c - 1];
+
+  s.sx.assign(cap, 0.0f);
+  s.sy.assign(cap, 0.0f);
+  s.sz.assign(cap, 0.0f);
+  s.slabels.assign(cap, 0);
+  s.order.assign(cap, 0);
+  for (int32_t i = 0; i < cap; ++i) {
+    const int32_t pos = cnt[cells[i]]++;
+    s.sx[pos] = mx[i];
+    s.sy[pos] = my[i];
+    s.sz[pos] = mz[i];
+    s.slabels[pos] = s.labels[i];
+    s.order[pos] = i;
+  }
+}
 
 bool read_scan_files(const Loader& L, int64_t idx, Slot& slot) {
   char name[64];
@@ -110,6 +184,7 @@ void worker_main(Loader* L) {
       slot.generation = L->generation;
     }
     read_scan_files(*L, idx, slot);
+    if (slot.status == 0 && L->prep.enabled) prep_scan(*L, idx, slot);
     {
       std::unique_lock<std::mutex> lock(L->mu);
       // a seek() may have repositioned the stream while this read was in
@@ -139,6 +214,65 @@ void* gg_loader_create(const char* sequence_root, int64_t n_scans,
   for (int32_t i = 0; i < nt; ++i)
     L->workers.emplace_back(worker_main, L);
   return L;
+}
+
+// Sorted-prep variant of gg_loader_create: workers additionally transform
+// each scan to the map frame, bin against the pre-tracked grid center and
+// stable-sort by flat cell id (config.sorted_scans host preparation).
+// poses: n_scans x 16 doubles (row-major map<-velo); centers: n_scans x 2
+// f32 (pipeline.CenterTracker outputs).
+void* gg_loader_create_sorted(const char* sequence_root, int64_t n_scans,
+                              int32_t cap, int32_t n_threads,
+                              int32_t queue_depth, const double* poses,
+                              const float* centers, float resolution,
+                              float half_length, int32_t n_cells) {
+  auto* L = new Loader();
+  L->velodyne_dir = std::string(sequence_root) + "/velodyne";
+  L->labels_dir = std::string(sequence_root) + "/labels";
+  L->cap = cap;
+  L->n_scans = n_scans;
+  L->max_queue = queue_depth > 0 ? (size_t)queue_depth : 8;
+  L->prep.enabled = true;
+  L->prep.poses.assign(poses, poses + (size_t)n_scans * 16);
+  L->prep.centers.assign(centers, centers + (size_t)n_scans * 2);
+  L->prep.inv_res = 1.0f / resolution;
+  L->prep.half = half_length;
+  L->prep.n = n_cells;
+  int32_t nt = n_threads > 0 ? n_threads : 2;
+  for (int32_t i = 0; i < nt; ++i) L->workers.emplace_back(worker_main, L);
+  return L;
+}
+
+// Blocking: fetch the next *prepared* scan (sorted SoA map-frame arrays +
+// the applied permutation). Same return convention as gg_loader_next.
+int64_t gg_loader_next_sorted(void* handle, float* out_px, float* out_py,
+                              float* out_pz, int32_t* out_labels,
+                              int32_t* out_order, int32_t* out_count) {
+  auto* L = static_cast<Loader*>(handle);
+  std::unique_lock<std::mutex> lock(L->mu);
+  int64_t want = L->next_to_emit;
+  if (want >= L->n_scans) return -1;
+  for (;;) {
+    for (size_t i = 0; i < L->done.size(); ++i) {
+      if (L->done[i].index == want) {
+        Slot slot = std::move(L->done[i]);
+        L->done.erase(L->done.begin() + i);
+        L->next_to_emit++;
+        lock.unlock();
+        L->cv_space.notify_all();
+        if (slot.status != 0) return -2;
+        const size_t cap = (size_t)L->cap;
+        std::memcpy(out_px, slot.sx.data(), cap * sizeof(float));
+        std::memcpy(out_py, slot.sy.data(), cap * sizeof(float));
+        std::memcpy(out_pz, slot.sz.data(), cap * sizeof(float));
+        std::memcpy(out_labels, slot.slabels.data(), cap * sizeof(int32_t));
+        std::memcpy(out_order, slot.order.data(), cap * sizeof(int32_t));
+        *out_count = slot.count;
+        return slot.index;
+      }
+    }
+    L->cv_ready.wait(lock);
+  }
 }
 
 // Blocking: fetch the next scan in index order. Returns the scan index, or

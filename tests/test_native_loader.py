@@ -56,3 +56,48 @@ def test_truncation_to_cap(dataset):
     assert rec.points.shape == (100, 4)
     np.testing.assert_allclose(rec.points, scans[0][0][:100])
     loader.close()
+
+
+def test_sorted_loader_matches_python_prep(tmp_path):
+    """Native C++ prep == pipeline.prepare_scan, bit for bit."""
+    import dataclasses
+
+    from groundgrid_tpu.config import GroundGridConfig
+    from groundgrid_tpu.data.native_loader import SortedPrefetchingLoader
+    from groundgrid_tpu.data.semantickitti import SemanticKITTI, write_sequence
+    from groundgrid_tpu.data.synthetic import synthetic_sequence
+    from groundgrid_tpu.pipeline import CenterTracker, prepare_scan
+
+    scans = list(synthetic_sequence(3, seed=13, n_beams=12, n_azimuth=300))
+    write_sequence(tmp_path, 0, [(p, l, T) for p, l, T in scans])
+    ds = SemanticKITTI(tmp_path, 0)
+    cfg = GroundGridConfig(
+        dimension=24.0, resolution=0.5, max_points=4096, ray_steps=28,
+        max_outlier_candidates=256, sorted_scans=True,
+    )
+
+    loader = SortedPrefetchingLoader(ds, cfg, n_threads=2, queue_depth=2)
+    tracker = None
+    got = list(loader)
+    loader.close()
+    assert len(got) == 3
+
+    for prep_rec, rec in zip(got, ds.iter_scans()):
+        pos = rec.t_map_velo[:2, 3].astype(np.float32)
+        if tracker is None:
+            tracker = CenterTracker(cfg, pos)
+        center = tracker.update(pos)
+        want_scan, want_order = prepare_scan(
+            cfg, rec.points[:, :3], rec.labels, rec.t_map_velo, center
+        )
+        if loader.native:
+            np.testing.assert_array_equal(prep_rec.order, want_order)
+            for field in ("px", "py", "pz", "rings", "valid", "center"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(prep_rec.scan, field)),
+                    np.asarray(getattr(want_scan, field)),
+                    err_msg=field,
+                )
+        # always: original-order labels round-trip and cells are sorted
+        np.testing.assert_array_equal(prep_rec.labels, rec.labels[: cfg.max_points])
+        assert prep_rec.n_points == min(len(rec.points), cfg.max_points)
