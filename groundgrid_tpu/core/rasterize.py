@@ -93,6 +93,7 @@ def rasterize(
     origin,
     accept,  # (P,) bool: in-map, not ignored, not outlier
     with_max: bool = True,
+    psum_axis: str | None = None,
 ) -> RasterLayers:
     """Scatter-accumulate all per-cell statistics (1-D scatters).
 
@@ -100,14 +101,24 @@ def rasterize(
     dead-but-published in the reference (SURVEY.md 2.3) and scatters are
     serial on this backend, so the hot path omits it unless aux layers are
     requested.
+
+    ``psum_axis``: when the scan's points are split over a mesh axis
+    (parallel/spatial.py), each shard scatters its slice and the per-cell
+    accumulators recombine with ``psum``/``pmin``/``pmax`` -- the serial
+    per-point scatter cost divides by the shard count.
     """
     n = config.cell_count
     n2 = n * n
     pd = z - origin[2]
 
     acc = accept.astype(jnp.float32)
-    total = jnp.maximum(jnp.sum(acc), 1.0)
-    shift = jnp.sum(jnp.where(accept, pd, 0.0)) / total  # conditioning shift s
+    total = jnp.sum(acc)
+    sum_pd = jnp.sum(jnp.where(accept, pd, 0.0))
+    if psum_axis is not None:
+        total = jax.lax.psum(total, psum_axis)
+        sum_pd = jax.lax.psum(sum_pd, psum_axis)
+    total = jnp.maximum(total, 1.0)
+    shift = sum_pd / total  # conditioning shift s
     pdc = jnp.where(accept, pd - shift, 0.0)
 
     cell = binning.cell
@@ -132,6 +143,12 @@ def rasterize(
         max_gh = jnp.full((n2 + 1,), FLT_TINY, jnp.float32).at[cell].max(maxv)
     else:
         max_gh = jnp.full((n2 + 1,), FLT_TINY, jnp.float32)
+
+    if psum_axis is not None:
+        sums = jax.lax.psum(sums, psum_axis)
+        min_gh = jax.lax.pmin(min_gh, psum_axis)
+        if with_max:
+            max_gh = jax.lax.pmax(max_gh, psum_axis)
 
     # one transpose instead of five strided column extractions
     sums_t = sums[:n2].T

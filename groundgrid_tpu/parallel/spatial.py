@@ -163,3 +163,129 @@ def _detect_block(config, tables, pts_h, var_h, min_h, ground, groundpatch):
 def spatial_sharding(mesh: Mesh, axis: str = "space") -> NamedSharding:
     """Sharding for (N, N) grid layers split row-wise."""
     return NamedSharding(mesh, P(axis, None))
+
+
+def make_spatial_step(config: GroundGridConfig, mesh: Mesh, axis: str = "space",
+                      with_scan_center: bool = False):
+    """Full per-scan step with the compute spatially sharded over ``axis``.
+
+    The multi-chip strategy for ONE grid too heavy for one chip (SURVEY.md
+    5.7, BASELINE config 4 pushed further):
+
+      * points split P(axis): each shard transforms, ray-marches and
+        classifies ``max_points / S`` points; the rasterize scatter -- the
+        serial per-point cost on this backend -- divides by S and recombines
+        with an ICI ``psum``/``pmin``;
+      * the detect stencil runs row-sharded (existing ``_detect_block``; the
+        halo comes for free from the psum-replicated raster layers);
+      * grid relocation and the sequential spiral run replicated (cheap /
+        inherently global); per-shard state keeps only this shard's rows.
+
+    Returns ``step(g_rows, c_rows, center, scan) -> (g_rows', c_rows',
+    center', labels, outlier)`` jitted over the mesh: ``g_rows``/``c_rows``
+    are the (N/S, N) row blocks sharded P(axis, None); ``scan`` is a
+    pipeline Scan whose point arrays are sharded P(axis) and whose poses /
+    center are replicated; ``labels``/``outlier`` come back P(axis)
+    (concatenated point order == input order).
+    """
+    from groundgrid_tpu.core import classify as classifylib
+    from groundgrid_tpu.core import grid as gridlib
+    from groundgrid_tpu.core import interpolate as interplib
+    from groundgrid_tpu.core import outliers as outlierlib
+    from groundgrid_tpu.core import rasterize as rasterlib
+    from groundgrid_tpu.core import transforms as tf
+    from groundgrid_tpu.core.grid import GridState
+    from groundgrid_tpu.pipeline import Scan
+
+    n = config.cell_count
+    n_shards = mesh.shape[axis]
+    if n % n_shards:
+        raise ValueError(f"grid rows {n} not divisible by {n_shards} shards")
+    if config.max_points % n_shards:
+        raise ValueError(
+            f"max_points {config.max_points} not divisible by {n_shards}")
+    rows = n // n_shards
+    tables = detectlib.make_tables(config)
+    tables_stacked = jax.tree.map(
+        lambda t: np.stack([t[i * rows : (i + 1) * rows] for i in range(n_shards)]),
+        tables,
+    )
+
+    use_pallas = config.use_pallas
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from groundgrid_tpu.ops.pallas_spiral import spiral_interpolation_pallas as spiral_fn
+    else:
+        spiral_fn = interplib.spiral_interpolation
+
+    def local_step(g_rows, c_rows, center, scan: Scan):
+        idx = lax.axis_index(axis)
+        ground = lax.all_gather(g_rows, axis, tiled=True)  # (N, N) replicated
+        conf = lax.all_gather(c_rows, axis, tiled=True)
+        state = GridState(ground=ground, groundpatch=conf, center=center)
+
+        if config.sorted_scans:
+            x, y, z = scan.px, scan.py, scan.pz
+        else:
+            x, y, z = tf.transform_points_soa(scan.t_map_velo, scan.px, scan.py, scan.pz)
+        origin = scan.t_map_velo[:3, 3]
+
+        state = gridlib.move(
+            config, state, origin[:2], scan.t_base_map, new_center=scan.center)
+
+        binning = rasterlib.bin_points(
+            config, state.center, x, y, z, scan.rings, scan.valid > 0, origin)
+        outlier = outlierlib.detect_outliers(
+            config, state.center, state.ground, state.groundpatch,
+            binning, x, y, z, origin)
+        accept = binning.inmap & ~binning.ignored & ~outlier
+        raster = rasterlib.rasterize(
+            config, binning, z, origin, accept, with_max=False, psum_axis=axis)
+
+        # detect: raster layers are psum-replicated, so each shard slices its
+        # own halo'd row block -- no further exchange needed
+        def halo_slice(full):
+            padded = jnp.pad(full, ((HALO, HALO), (0, 0)))
+            return lax.dynamic_slice_in_dim(padded, idx * rows, rows + 2 * HALO, 0)
+
+        def row_slice(full):
+            return lax.dynamic_slice_in_dim(full, idx * rows, rows, 0)
+
+        local_tables = jax.tree.map(lambda t: jnp.asarray(t)[idx], tables_stacked)
+        g_det, c_det = _detect_block(
+            config, local_tables,
+            halo_slice(raster.points), halo_slice(raster.variance),
+            halo_slice(raster.min_ground_height),
+            row_slice(state.ground), row_slice(state.groundpatch),
+        )
+
+        # spiral: inherently global + sequential -> gather, run replicated
+        g_full = lax.all_gather(g_det, axis, tiled=True)
+        c_full = lax.all_gather(c_det, axis, tiled=True)
+        g_full, c_full = spiral_fn(config, g_full, c_full, scan.t_map_base[2, 3])
+
+        result = classifylib.classify(
+            config, binning, z, g_full, raster.variance, outlier,
+            with_counts=False)
+
+        return (
+            row_slice(g_full), row_slice(c_full), state.center,
+            result.labels, outlier.astype(jnp.int32),
+        )
+
+    pt = P(axis)
+    rep = P()
+    scan_spec = Scan(
+        px=pt, py=pt, pz=pt, rings=pt, valid=pt,
+        t_map_velo=rep, t_map_base=rep, t_base_map=rep,
+        center=rep if with_scan_center else None,
+    )
+    sharded = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None), rep, scan_spec),
+        out_specs=(P(axis, None), P(axis, None), rep, pt, pt),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0, 1))

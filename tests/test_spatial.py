@@ -54,3 +54,56 @@ def test_indivisible_grid_rejected(cfg):
     mesh = Mesh(np.array(jax.devices()), ("space",))
     with pytest.raises(ValueError, match="not divisible"):
         make_sharded_detect(bad, mesh)
+
+
+def test_spatial_step_matches_single_chip(small_config):
+    """Full spatially-sharded step == single-chip step over multiple scans."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from groundgrid_tpu.data.synthetic import synthetic_sequence
+    from groundgrid_tpu.parallel.spatial import make_spatial_step, spatial_sharding
+    from groundgrid_tpu.pipeline import init_state, make_step, pad_scan
+
+    cfg = small_config
+    n = cfg.cell_count
+    mesh = Mesh(np.array(jax.devices()), ("space",))
+    n_dev = mesh.devices.size
+    assert n % n_dev == 0 and cfg.max_points % n_dev == 0
+
+    step1 = make_step(cfg)
+    step_s = make_spatial_step(cfg, mesh)
+    grid_sh = spatial_sharding(mesh)
+    pt_sh = NamedSharding(mesh, P("space"))
+    rep_sh = NamedSharding(mesh, P())
+
+    state = g_rows = None
+    total = agree = 0
+    for pts, lbl, T in synthetic_sequence(3, seed=5, n_beams=16, n_azimuth=500):
+        scan = pad_scan(cfg, pts, lbl, T)
+        if state is None:
+            state = init_state(cfg, np.asarray(T, np.float32))
+            g_rows = jax.device_put(np.asarray(state.ground), grid_sh)
+            c_rows = jax.device_put(np.asarray(state.groundpatch), grid_sh)
+            center = jax.device_put(np.asarray(state.center), rep_sh)
+        sharded_scan = jax.tree.map(
+            lambda a: jax.device_put(
+                np.asarray(a), pt_sh if np.asarray(a).ndim == 1 else rep_sh
+            ),
+            scan,
+        )
+        state, out = step1(state, scan)
+        g_rows, c_rows, center, labels, outlier = step_s(
+            g_rows, c_rows, center, sharded_scan
+        )
+        np.testing.assert_allclose(
+            np.asarray(g_rows), np.asarray(state.ground), atol=2e-4, rtol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(c_rows), np.asarray(state.groundpatch), atol=1e-5, rtol=1e-5
+        )
+        lbl1 = np.asarray(out.labels)
+        lbl2 = np.asarray(labels)
+        total += lbl1.size
+        agree += int((lbl1 == lbl2).sum())
+    assert agree / total > 0.9995, f"label agreement {agree/total:.5%}"
