@@ -96,3 +96,52 @@ def test_padding_points_inert(small_config, small_scans, jit_step):
         np.asarray(oa.labels)[:n_valid], np.asarray(ob.labels)[:n_valid]
     )
     np.testing.assert_array_equal(np.asarray(sa.ground), np.asarray(sb.ground))
+
+
+def test_wire_format_matches_f32(small_config, small_scans):
+    """s16 wire pipeline ~= f32 sorted pipeline (5 mm quantization)."""
+    import dataclasses
+
+    from groundgrid_tpu.pipeline import (
+        CenterTracker, make_step, make_wire_step, prepare_scan,
+        prepare_scan_wire,
+    )
+
+    cfg = dataclasses.replace(small_config, sorted_scans=True)
+    step = make_step(cfg)
+    wstep = make_wire_step(cfg)
+    state = wstate = None
+    tracker = None
+    total = agree = 0
+    for pts, labels, T in small_scans:
+        pos = T[:2, 3].astype(np.float32)
+        if tracker is None:
+            tracker = CenterTracker(cfg, pos)
+        center = tracker.update(pos)
+        scan, order = prepare_scan(cfg, pts, labels, T, center)
+        wire, worder = prepare_scan_wire(cfg, pts, labels, T, center)
+        # wire payload is ~2.5x smaller
+        f32_bytes = sum(np.asarray(getattr(scan, f)).nbytes
+                        for f in ("px", "py", "pz", "rings", "valid"))
+        wire_bytes = sum(np.asarray(getattr(wire, f)).nbytes
+                         for f in ("qx", "qy", "qz", "rings"))
+        assert wire_bytes * 2 < f32_bytes
+        if state is None:
+            state = init_state(cfg, np.asarray(T, np.float32))
+            wstate = init_state(cfg, np.asarray(T, np.float32))
+        state, out = step(state, scan)
+        wstate, wout = wstep(wstate, wire)
+
+        lbl = np.empty(cfg.max_points, np.int32)
+        lbl[order] = np.asarray(out.labels)
+        wlbl = np.empty(cfg.max_points, np.int32)
+        wlbl[worder] = np.asarray(wout.labels)
+        total += len(pts)
+        agree += int((lbl[: len(pts)] == wlbl[: len(pts)]).sum())
+        # dequantized coordinates within the 5mm+rounding envelope
+        x = np.empty(cfg.max_points, np.float32)
+        x[worder] = np.asarray(wout.x)
+        xs = np.empty(cfg.max_points, np.float32)
+        xs[order] = np.asarray(out.x)
+        np.testing.assert_allclose(x[: len(pts)], xs[: len(pts)], atol=6e-3)
+    assert agree / total > 0.98, f"wire-vs-f32 agreement {agree/total:.4%}"
