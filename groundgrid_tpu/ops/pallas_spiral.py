@@ -61,22 +61,35 @@ def _roll(x, shift, axis):
 
 
 def _affine_hillis_steele(a, b, descending):
-    """Prefix-compose affine maps h[y] = a[y] + b[y]*h[y-+1] along lanes."""
+    """Prefix-compose affine maps h[y] = a[y] + b[y]*h[y-+1] along lanes.
+
+    Radix-4: each level composes the three stride-d/2d/3d predecessors
+    (independent rolls of the same input -> their latencies overlap), so the
+    *sequential* level count drops from log2(PAD)=9 to ceil(log4(PAD))=5.
+    The per-segment scan chain dominates the spiral's critical path (720
+    corner-coupled segments run back to back), so scan latency is what the
+    whole kernel's time scales with. Exact to f32 rounding vs radix-2.
+    """
     n = a.shape[1]
     idx = lax.broadcasted_iota(jnp.int32, a.shape, 1)
     d = 1
     while d < n:
-        if descending:
-            valid = idx < n - d
-            shift = -d
-        else:
-            valid = idx >= d
-            shift = d
-        a_s = jnp.where(valid, _roll(a, shift, 1), 0.0)
-        b_s = jnp.where(valid, _roll(b, shift, 1), 1.0)
-        a = a + b * a_s
-        b = b * b_s
-        d *= 2
+        na, nb = a, b
+        for s in (d, 2 * d, 3 * d):
+            if s >= n:
+                continue
+            if descending:
+                valid = idx < n - s
+                shift = -s
+            else:
+                valid = idx >= s
+                shift = s
+            a_s = jnp.where(valid, _roll(a, shift, 1), 0.0)
+            b_s = jnp.where(valid, _roll(b, shift, 1), 1.0)
+            na = na + nb * a_s
+            nb = nb * b_s
+        a, b = na, nb
+        d *= 4
     return a
 
 
