@@ -54,6 +54,7 @@ CB = 1024  # cells per kernel-grid block
 NW = 8  # hi-groups per block (CB / 128)
 NK = 16  # value columns (5 used; padded so B's lane width is a full tile)
 BL = NW * NK  # B lane width == 128 (DMA slices must be lane-tile aligned)
+NBUF = 4  # DMA pipeline depth (static slots)
 
 
 def _num_blocks(n_cells_padded: int) -> int:
@@ -111,32 +112,28 @@ def _kernel(row_lo_ref, row_hi_ref, cell_ref, minv_ref, b_hbm,
             )  # (128, 1)
         mins_ref[:] = jnp.minimum(mins_ref[:], jnp.concatenate(cols, axis=1))
 
-    @pl.when(nch > 0)
-    def _():
-        dma(0, 0).start()
+    # 4-deep DMA pipeline, statically unrolled (slots MUST be static: dynamic
+    # .at[slot] scratch indexing miscompiles -- see module docstring).
+    # Measured ~9% faster than 2-deep; 8-deep is not better.
+    for w in range(NBUF - 1):
+        @pl.when(w < nch)
+        def _(w=w):
+            dma(w, w).start()
 
     def body(j, _):
-        i = 2 * j
+        i = NBUF * j
+        for t in range(NBUF):
+            @pl.when(i + t + NBUF - 1 < nch)
+            def _(t=t):
+                dma(i + t + NBUF - 1, (t + NBUF - 1) % NBUF).start()
 
-        @pl.when(i + 1 < nch)
-        def _():
-            dma(i + 1, 1).start()
-
-        dma(i, 0).wait()
-        compute(i, 0)
-
-        @pl.when(i + 2 < nch)
-        def _():
-            dma(i + 2, 0).start()
-
-        @pl.when(i + 1 < nch)
-        def _():
-            dma(i + 1, 1).wait()
-            compute(i + 1, 1)
-
+            @pl.when(i + t < nch)
+            def _(t=t):
+                dma(i + t, t).wait()
+                compute(i + t, t)
         return 0
 
-    lax.fori_loop(0, (nch + 1) // 2, body, 0)
+    lax.fori_loop(0, (nch + NBUF - 1) // NBUF, body, 0)
 
 
 def raster_sums_min(cell_sorted, b_all, minv_sorted, n2: int, interpret: bool = False):
@@ -190,8 +187,8 @@ def raster_sums_min(cell_sorted, b_all, minv_sorted, n2: int, interpret: bool = 
             pl.BlockSpec((128, NW), lambda g: (g, 0), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, CHUNK, BL), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((NBUF, CHUNK, BL), jnp.float32),
+            pltpu.SemaphoreType.DMA((NBUF,)),
         ],
         interpret=interpret,
     )(row_lo, row_hi, cell2d, minv2d, b_all)
