@@ -10,13 +10,18 @@ streaming/batched (fleet) drivers -- no ROS, no host-side hot loops.
 from groundgrid_tpu.config import DEFAULT_CONFIG, HIGHRES_CONFIG, GroundGridConfig
 from groundgrid_tpu.core.grid import GridState
 from groundgrid_tpu.pipeline import (
+    CenterTracker,
     Scan,
     StepOutput,
+    WireScan,
     compile_step_verified,
     init_state,
     make_step,
     make_step_fn,
+    make_wire_step,
     pad_scan,
+    prepare_scan,
+    prepare_scan_wire,
 )
 
 __version__ = "0.1.0"
@@ -28,11 +33,16 @@ __all__ = [
     "GridState",
     "Scan",
     "StepOutput",
+    "WireScan",
+    "CenterTracker",
     "init_state",
     "make_step",
     "make_step_fn",
+    "make_wire_step",
     "compile_step_verified",
     "pad_scan",
+    "prepare_scan",
+    "prepare_scan_wire",
     "__version__",
 ]
 
@@ -55,4 +65,12 @@ def __getattr__(name):
         from groundgrid_tpu.data.semantickitti import SemanticKITTI
 
         return SemanticKITTI
+    if name == "SortedPrefetchingLoader":
+        from groundgrid_tpu.data.native_loader import SortedPrefetchingLoader
+
+        return SortedPrefetchingLoader
+    if name == "make_spatial_step":
+        from groundgrid_tpu.parallel.spatial import make_spatial_step
+
+        return make_spatial_step
     raise AttributeError(f"module 'groundgrid_tpu' has no attribute {name!r}")
