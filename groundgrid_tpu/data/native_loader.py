@@ -303,9 +303,11 @@ class SortedPrefetchingLoader:
             c = min(int(count.value), self.cap)
             order = self._order.copy()
             mv, mb, bm = tf.scan_poses(self._poses[idx])
+            # explicit copies: jnp.asarray may zero-copy alias host numpy on
+            # CPU backends, and these staging buffers are reused next scan
             scan = Scan(
-                px=jnp.asarray(self._px), py=jnp.asarray(self._py),
-                pz=jnp.asarray(self._pz), rings=jnp.asarray(self._lab),
+                px=jnp.asarray(self._px.copy()), py=jnp.asarray(self._py.copy()),
+                pz=jnp.asarray(self._pz.copy()), rings=jnp.asarray(self._lab.copy()),
                 valid=jnp.asarray((order < c).astype(np.int32)),
                 t_map_velo=jnp.asarray(mv), t_map_base=jnp.asarray(mb),
                 t_base_map=jnp.asarray(bm),
