@@ -122,8 +122,19 @@ def run_benchmark(
 
     if batch == 1:
         scans = [jax.device_put(s) for s in scans]
-        step = make_step(config)
         state = init_state(config, poses[0].astype(np.float32))
+        if platform == "tpu":
+            # probe + re-roll de-optimized executables from the shared
+            # compile service (pipeline.compile_step_verified) -- a fresh
+            # environment would otherwise have a ~50% chance of benchmarking
+            # a serialized binary
+            from groundgrid_tpu.pipeline import compile_step_verified
+
+            step, probe_ms = compile_step_verified(config, state, scans[0])
+            _log(f"bench: verified executable ({probe_ms:.2f} ms/step probe)")
+            state = init_state(config, poses[0].astype(np.float32))
+        else:
+            step = make_step(config)
         for i in range(warmup):
             state, out = step(state, scans[i % n_distinct])
         # Force real completion: on the axon runtime, block_until_ready
