@@ -1,0 +1,174 @@
+#!/usr/bin/env python3
+"""TPU system check: validates the compiled-kernel paths the CPU test suite
+cannot (tests force the virtual CPU mesh; Pallas kernels only compile on
+real hardware). Run on the TPU host:
+
+    python tpu_system_check.py
+
+Checks, each against an independently computed reference ON DEVICE:
+  1. quad-sweep spiral kernel == sequential-oracle XLA formulation
+  2. sorted-scan pipeline (Pallas rasterizer) == scatter pipeline, full
+     multi-scan stream, restored point order
+  3. the sortedness cond actually falls back (and stays correct) when fed
+     deliberately unsorted points
+  4. s16 wire pipeline: device binning of dequantized coords stays sorted
+     (no FMA divergence) + labels agree with the f32 path
+  5. a short synthetic end-to-end evaluation (sorted + native loader when
+     available) lands at F1 > 95%
+
+Prints PASS/FAIL per check; exit code 0 iff all pass.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import sys
+import tempfile
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from groundgrid_tpu.config import GroundGridConfig
+    from groundgrid_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    if jax.default_backend() != "tpu":
+        print(f"SKIP: backend is {jax.default_backend()}, not tpu")
+        return 1
+
+    failures = []
+
+    def check(name, ok, detail=""):
+        print(f"{'PASS' if ok else 'FAIL'}: {name}" + (f" ({detail})" if detail else ""))
+        if not ok:
+            failures.append(name)
+
+    cfg = GroundGridConfig(sorted_scans=True)
+    n = cfg.cell_count
+
+    # --- 1. spiral kernel vs oracle ---
+    from groundgrid_tpu.core import interpolate as interp
+    from groundgrid_tpu.ops.pallas_spiral import spiral_interpolation_pallas
+
+    rng = np.random.default_rng(0)
+    g = rng.normal(0, 1, (n, n)).astype(np.float32)
+    c = rng.random((n, n)).astype(np.float32)
+    gk, ck = jax.jit(lambda a, b: spiral_interpolation_pallas(cfg, a, b, 1.5))(g, c)
+    go, co = jax.jit(lambda a, b: interp.spiral_interpolation(cfg, a, b, 1.5))(g, c)
+    herr = float(jnp.abs(gk - go).max())
+    check("spiral kernel == oracle", herr < 2e-5 and bool((ck == co).all()),
+          f"height maxerr {herr:.2e}, conf bitwise {bool((ck == co).all())}")
+
+    # --- 2/3. sorted pipeline vs scatter pipeline + fallback ---
+    from groundgrid_tpu.data.synthetic import make_scene, render_scan, vehicle_pose
+    from groundgrid_tpu.pipeline import (
+        CenterTracker, init_state, make_step, pad_scan, prepare_scan,
+    )
+
+    plain_cfg = dataclasses.replace(cfg, sorted_scans=False)
+    step_sorted = make_step(cfg)
+    step_plain = make_step(plain_cfg)
+
+    scene = make_scene(3, extent=200.0)
+    state_s = state_p = tracker = None
+    total = agree = 0
+    for k in range(4):
+        T = vehicle_pose(scene, k, step_m=1.2)
+        pts, lbl = render_scan(scene, T, n_beams=48, n_azimuth=1024, seed=k)
+        pos = T[:2, 3].astype(np.float32)
+        if tracker is None:
+            tracker = CenterTracker(cfg, pos)
+            state_s = init_state(cfg, T.astype(np.float32))
+            state_p = init_state(plain_cfg, T.astype(np.float32))
+        scan_s, order = prepare_scan(cfg, pts, lbl, T, tracker.update(pos))
+        scan_p = pad_scan(plain_cfg, pts, lbl, T)
+        state_s, out_s = step_sorted(state_s, scan_s)
+        state_p, out_p = step_plain(state_p, scan_p)
+        restored = np.empty(cfg.max_points, np.int32)
+        restored[order] = np.asarray(out_s.labels)
+        lp = np.asarray(out_p.labels)
+        total += lp.size
+        agree += int((restored == lp).sum())
+    rate = agree / total
+    check("sorted(Pallas) == scatter pipeline", rate > 0.999, f"label agreement {rate:.5%}")
+
+    # fallback: same sorted config, UNSORTED points (pad_scan order + center)
+    T = vehicle_pose(scene, 0, step_m=1.2)
+    pts, lbl = render_scan(scene, T, n_beams=48, n_azimuth=1024, seed=0)
+    tracker2 = CenterTracker(cfg, T[:2, 3].astype(np.float32))
+    center = tracker2.update(T[:2, 3].astype(np.float32))
+    scan_sorted, order = prepare_scan(cfg, pts, lbl, T, center)
+    # deliberately break the sort: reverse the point order
+    scan_rev = scan_sorted._replace(
+        px=scan_sorted.px[::-1], py=scan_sorted.py[::-1], pz=scan_sorted.pz[::-1],
+        rings=scan_sorted.rings[::-1], valid=scan_sorted.valid[::-1],
+    )
+    st_a = init_state(cfg, T.astype(np.float32))
+    st_b = init_state(cfg, T.astype(np.float32))
+    _, out_a = step_sorted(st_a, scan_sorted)
+    _, out_b = step_sorted(st_b, scan_rev)
+    la = np.asarray(out_a.labels)
+    lb = np.asarray(out_b.labels)[::-1]
+    frac = float((la == lb).mean())
+    check("unsorted input falls back correctly", frac > 0.999,
+          f"reversed-scan label agreement {frac:.5%}")
+
+    # --- 4. wire format ---
+    from groundgrid_tpu.core import rasterize as rasterlib
+    from groundgrid_tpu.pipeline import dequantize_scan, make_wire_step, prepare_scan_wire
+
+    wire, worder = prepare_scan_wire(cfg, pts, lbl, T, center)
+    cells = jax.jit(
+        lambda w: rasterlib.bin_points(
+            cfg, w.center,
+            *(lambda s: (s.px, s.py, s.pz, s.rings, s.valid > 0))(dequantize_scan(cfg, w)),
+            w.t_map_velo[:3, 3],
+        ).cell
+    )(wire)
+    mono = bool((np.diff(np.asarray(cells)) >= 0).all())
+    wstep = make_wire_step(cfg)
+    _, out_w = wstep(init_state(cfg, T.astype(np.float32)), wire)
+    lw = np.empty(cfg.max_points, np.int32)
+    lw[worder] = np.asarray(out_w.labels)
+    ls = np.empty(cfg.max_points, np.int32)
+    ls[order] = la
+    wagree = float((lw == ls).mean())
+    check("s16 wire: device-sorted + labels ~= f32", mono and wagree > 0.98,
+          f"sorted={mono}, agreement {wagree:.4%}")
+
+    # --- 5. end-to-end synthetic evaluation ---
+    from groundgrid_tpu.data.semantickitti import SemanticKITTI, write_sequence
+    from groundgrid_tpu.data.synthetic import synthetic_sequence
+    from groundgrid_tpu.eval.metrics import Evaluator
+    from groundgrid_tpu.runtime.driver import StreamingDriver
+
+    tmp = tempfile.mkdtemp()
+    write_sequence(tmp, 0, list(synthetic_sequence(6, seed=9, n_beams=48, n_azimuth=1500)))
+    ds = SemanticKITTI(tmp, 0)
+    try:
+        from groundgrid_tpu.data.native_loader import SortedPrefetchingLoader
+
+        records = SortedPrefetchingLoader(ds, cfg)
+        native = records.native
+    except Exception:
+        records, native = ds.iter_scans(), False
+    driver = StreamingDriver(cfg)
+    ev = Evaluator("00")
+    for rec in records:
+        res = driver.process(rec)
+        ev.add_cloud(res.labels, rec.labels)
+    m = ev.compute()
+    check("e2e synthetic evaluation", m.f1 > 0.95,
+          f"F1 {m.f1:.4f}, IoUg {m.ioug:.4f}, native_loader={native}, "
+          f"{driver.stats.scans_per_sec:.1f} scans/s wall")
+
+    print(("ALL CHECKS PASSED" if not failures else f"FAILURES: {failures}"))
+    return 0 if not failures else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
