@@ -40,6 +40,7 @@ def classify(
     variance,
     outlier,
     with_counts: bool = True,
+    gh_var=None,
 ) -> ClassifyResult:
     """Classify every surviving point.
 
@@ -50,20 +51,29 @@ def classify(
 
     Outliers are force-labeled ground and bypass the border drop, exactly as
     the re-add loop at :184-189 does.
+
+    ``gh_var``: optional precomputed per-point ``(ground[cell], var[cell])``
+    pair -- the sorted-scan pipeline supplies it from the Pallas lookup
+    kernel (ops/pallas_lookup.py), which replaces the serial XLA row gather
+    below. Values at non-inmap points may differ (they are masked out of
+    every consumer).
     """
     n = config.cell_count
-    flat = jnp.clip(binning.gi0, 0, n - 1) * n + jnp.clip(binning.gi1, 0, n - 1)
 
     considered = binning.inmap & ~outlier
     if config.border_drop:
         considered &= (binning.gi0 + 3 < n) & (binning.gi1 + 3 < n)
 
-    # one 2-wide row gather instead of two 1-wide gathers (3x cheaper on this
-    # backend: per-index overhead dominates serial gathers)
-    table = jnp.stack([ground.reshape(-1), variance.reshape(-1)], axis=-1)
-    pair = table[flat]
-    gh = pair[:, 0]
-    var = pair[:, 1]
+    if gh_var is not None:
+        gh, var = gh_var
+    else:
+        flat = jnp.clip(binning.gi0, 0, n - 1) * n + jnp.clip(binning.gi1, 0, n - 1)
+        # one 2-wide row gather instead of two 1-wide gathers (3x cheaper on
+        # this backend: per-index overhead dominates serial gathers)
+        table = jnp.stack([ground.reshape(-1), variance.reshape(-1)], axis=-1)
+        pair = table[flat]
+        gh = pair[:, 0]
+        var = pair[:, 1]
     dist = jnp.sqrt(binning.sqdist)
 
     min_dist_fac = np.float32(config.minimum_distance_factor * 5)

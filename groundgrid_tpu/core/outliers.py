@@ -89,10 +89,16 @@ def detect_outliers(
     y,
     z,
     origin,
+    old_h=None,
 ) -> jax.Array:
     """Returns (P,) bool: True for occluded-return outliers.
 
     ``ground``/``groundpatch`` must be the pre-update (previous scan) layers.
+
+    ``old_h``: optional precomputed per-point previous terrain height
+    ``ground[cell]`` -- the sorted-scan pipeline supplies it from the Pallas
+    lookup kernel (ops/pallas_lookup.py) instead of the serial XLA row
+    gather. Values at non-inmap points may differ (masked by ``inmap``).
     """
     n = config.cell_count
     res = np.float32(config.resolution)
@@ -103,8 +109,9 @@ def detect_outliers(
 
     pair_table = _pair_table(config, ground, groundpatch)
 
-    flat_cell = jnp.clip(binning.gi0, 0, n - 1) * n + jnp.clip(binning.gi1, 0, n - 1)
-    old_h = pair_table[flat_cell][:, 1]  # 2-wide row gather (see _pair_table)
+    if old_h is None:
+        flat_cell = jnp.clip(binning.gi0, 0, n - 1) * n + jnp.clip(binning.gi1, 0, n - 1)
+        old_h = pair_table[flat_cell][:, 1]  # 2-wide row gather (see _pair_table)
     cand = binning.inmap & ~binning.ignored & (z < old_h - np.float32(0.2))
 
     # compact candidates into a fixed-size buffer (top_k == sort by flag)

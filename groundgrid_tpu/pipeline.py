@@ -134,6 +134,17 @@ def make_step_fn(config: GroundGridConfig, with_aux: bool = False, _salt: int = 
     else:
         spiral = functools.partial(interplib.spiral_interpolation, config)
 
+    # Per-point table reads (previous terrain for the candidate test; new
+    # terrain + variance for classification) ride the sorted-lookup Pallas
+    # kernel in sorted-scan mode: XLA's serial row gathers were the single
+    # largest cost block of the pipeline. The kernel is correct for unsorted
+    # input too (just slower), so it needs no fallback cond.
+    use_lookup = (
+        config.sorted_scans and use_pallas and config.max_points % 1024 == 0
+    )
+    if use_lookup:
+        from groundgrid_tpu.ops.pallas_lookup import sorted_lookup
+
     def step_impl(state: GridState, scan: Scan):
         # --- transform to map frame (GroundGridNodelet.cpp:139-184) ---
         if config.sorted_scans:
@@ -161,9 +172,14 @@ def make_step_fn(config: GroundGridConfig, with_aux: bool = False, _salt: int = 
         )
 
         # --- outlier ray-march against previous terrain (cpp:242-275) ---
+        old_h = None
+        if use_lookup:
+            (old_h,) = sorted_lookup(
+                binning.cell, [state.ground], config.cell_count ** 2
+            )
         outlier = outlierlib.detect_outliers(
             config, state.center, state.ground, state.groundpatch,
-            binning, x, y, z, origin,
+            binning, x, y, z, origin, old_h=old_h,
         )
 
         # --- rasterize (cpp:200-311) ---
@@ -199,9 +215,14 @@ def make_step_fn(config: GroundGridConfig, with_aux: bool = False, _salt: int = 
         ground, groundpatch = spiral(ground, groundpatch, scan.t_map_base[2, 3])
 
         # --- classification (cpp:146-189) ---
+        gh_var = None
+        if use_lookup:
+            gh_var = sorted_lookup(
+                binning.cell, [ground, raster.variance], config.cell_count ** 2
+            )
         result = classifylib.classify(
             config, binning, z, ground, raster.variance, outlier,
-            with_counts=with_aux,
+            with_counts=with_aux, gh_var=gh_var,
         )
 
         new_state = GridState(ground=ground, groundpatch=groundpatch, center=state.center)
