@@ -107,6 +107,10 @@ def detect_outliers(
     n_steps = config.ray_steps - 3
     tol = np.float32(config.outlier_tolerance)
 
+    # NOTE: the march below keeps the 2-wide pair-table row gather even when
+    # old_h is precomputed -- a 1-wide gather from the flat u32 key table was
+    # measured 4x SLOWER (679 vs 164 us for 95k rows): row gathers of width
+    # >= 2 amortize this backend's per-index overhead.
     pair_table = _pair_table(config, ground, groundpatch)
 
     if old_h is None:
@@ -114,7 +118,9 @@ def detect_outliers(
         old_h = pair_table[flat_cell][:, 1]  # 2-wide row gather (see _pair_table)
     cand = binning.inmap & ~binning.ignored & (z < old_h - np.float32(0.2))
 
-    # compact candidates into a fixed-size buffer (top_k == sort by flag)
+    # compact candidates into a fixed-size buffer (top_k == sort by flag).
+    # (A cumsum + vectorized-binary-search compaction was measured ~3x
+    # slower than this sort: XLA's searchsorted while-loop costs ~270 us.)
     vals, pidx = lax.top_k(cand.astype(jnp.int32), k_max)
     active = vals > 0
     px = x[pidx]

@@ -181,7 +181,7 @@ def rasterize_sorted(
     (dead-but-published) maxGroundHeight layer keeps its reset value; use
     the plain path when aux layers are requested.
     """
-    from groundgrid_tpu.ops.pallas_raster import build_b, raster_sums_min
+    from groundgrid_tpu.ops.pallas_raster import build_bt, raster_sums_min
 
     n = config.cell_count
     n2 = n * n
@@ -192,7 +192,7 @@ def rasterize_sorted(
     shift = jnp.sum(jnp.where(accept, pd, 0.0)) / total
     pdc = jnp.where(accept, pd - shift, 0.0)
 
-    b_all = build_b(
+    b_all = build_bt(
         binning.cell,
         binning.inmap.astype(jnp.float32),
         acc,

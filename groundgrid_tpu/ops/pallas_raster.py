@@ -52,8 +52,10 @@ ROW = 128  # input row width: the (P,) -> (P/ROW, ROW) reshape is a pure
 CHUNK = 256  # points per matmul chunk (= 2 input rows, lane-concatenated)
 CB = 1024  # cells per kernel-grid block
 NW = 8  # hi-groups per block (CB / 128)
-NK = 16  # value columns (5 used; padded so B's lane width is a full tile)
-BL = NW * NK  # B lane width == 128 (DMA slices must be lane-tile aligned)
+NK = 16  # value columns (5 used; padded so B's lane width is a full tile --
+# Mosaic rejects DMA slices whose lane dim is not 128-aligned, so NK=8/BL=64
+# does not compile)
+BL = NW * NK  # B lane width == 128
 NBUF = 4  # DMA pipeline depth (static slots)
 
 
@@ -79,7 +81,7 @@ def _kernel(row_lo_ref, row_hi_ref, cell_ref, minv_ref, b_hbm,
 
     def dma(i, slot):
         return pltpu.make_async_copy(
-            b_hbm.at[pl.ds((lo + i) * CHUNK, CHUNK), :],
+            b_hbm.at[:, pl.ds((lo + i) * CHUNK, CHUNK)],
             b_buf.at[slot],
             sems.at[slot],
         )
@@ -93,10 +95,15 @@ def _kernel(row_lo_ref, row_hi_ref, cell_ref, minv_ref, b_hbm,
         m0 = (lo_eq[0:1] == r_iota) & in_blk[0:1]  # (128, ROW)
         m1 = (lo_eq[1:2] == r_iota) & in_blk[1:2]
         a = jnp.concatenate([m0, m1], axis=1).astype(jnp.float32)  # (128, CHUNK)
+        # NT matmul (contract lanes x lanes): B arrives transposed (BL, CHUNK)
+        # because (BL, P) is the orientation the B build produces in natural
+        # row-major layout (P on lanes) -- the (P, BL) form cost a ~0.1 ms
+        # XLA relayout copy per scan.
         # HIGHEST: the MXU's default bf16 input rounding would corrupt the
         # f32 value columns; A is exactly 0/1 so f32-emulation is exact.
-        sums_ref[:] += jnp.dot(
+        sums_ref[:] += lax.dot_general(
             a, b_buf[slot],
+            dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=lax.Precision.HIGHEST,
         )
@@ -142,7 +149,7 @@ def raster_sums_min(cell_sorted, b_all, minv_sorted, n2: int, interpret: bool = 
     Args:
       cell_sorted: (P,) int32 flat cell ids, **nondecreasing**, in [0, n2]
         (n2 = overflow/padding bin).
-      b_all: (P, BL) f32 B-matrix from :func:`build_b`.
+      b_all: (BL, P) f32 transposed B-matrix from :func:`build_bt`.
       minv_sorted: (P,) f32 min-candidates (+FLT_MAX where not accepted).
       n2: number of real cells (grid N*N).
 
@@ -187,7 +194,7 @@ def raster_sums_min(cell_sorted, b_all, minv_sorted, n2: int, interpret: bool = 
             pl.BlockSpec((128, NW), lambda g: (g, 0), memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((NBUF, CHUNK, BL), jnp.float32),
+            pltpu.VMEM((NBUF, BL, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
         interpret=interpret,
@@ -200,13 +207,21 @@ def raster_sums_min(cell_sorted, b_all, minv_sorted, n2: int, interpret: bool = 
     return sums, mins
 
 
-def build_b(cell, *vals):
-    """(P, BL) B-matrix: ``B[p, NK*w + k] = (cell[p]//128 % NW == w) * vals[k][p]``."""
+def build_bt(cell, *vals):
+    """(BL, P) transposed B: ``B[NK*w + k, p] = (cell[p]//128 % NW == w) * vals[k][p]``.
+
+    Points ride the LANE dimension throughout, so every broadcast builds in
+    its natural row-major layout and XLA hands the kernel the array with no
+    relayout copy (the (P, BL) orientation cost a ~0.1 ms copy per scan plus
+    a slower minor-dim-16 build).
+    """
     if len(vals) > NK:
         raise ValueError(f"at most {NK} value columns, got {len(vals)}")
     w = (cell // 128) % NW
-    wm = (w[:, None] == jnp.arange(NW, dtype=cell.dtype)[None, :]).astype(jnp.float32)
+    wm = (
+        jnp.arange(NW, dtype=cell.dtype)[:, None] == w[None, :]
+    ).astype(jnp.float32)  # (NW, P)
     v = jnp.stack(
-        list(vals) + [jnp.zeros_like(vals[0])] * (NK - len(vals)), axis=-1
-    )
-    return (wm[:, :, None] * v[:, None, :]).reshape(cell.shape[0], BL)
+        list(vals) + [jnp.zeros_like(vals[0])] * (NK - len(vals)), axis=0
+    )  # (NK, P)
+    return (wm[:, None, :] * v[None, :, :]).reshape(BL, cell.shape[0])

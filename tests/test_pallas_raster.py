@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from groundgrid_tpu.config import GroundGridConfig
 from groundgrid_tpu.core import rasterize as rasterlib
 from groundgrid_tpu.core import transforms as tf
-from groundgrid_tpu.ops.pallas_raster import build_b, raster_sums_min
+from groundgrid_tpu.ops.pallas_raster import build_bt, raster_sums_min
 
 FLT_MAX = np.float32(np.finfo(np.float32).max)
 
@@ -29,7 +29,7 @@ def _numpy_reference(cell, vals, minv, n2):
 
 
 def _check(cell, vals, minv, n2):
-    b_all = build_b(jnp.asarray(cell), *[jnp.asarray(v) for v in vals])
+    b_all = build_bt(jnp.asarray(cell), *[jnp.asarray(v) for v in vals])
     sums, mins = raster_sums_min(
         jnp.asarray(cell), b_all, jnp.asarray(minv), n2, interpret=True
     )
