@@ -52,10 +52,10 @@ ROW = 128  # input row width: the (P,) -> (P/ROW, ROW) reshape is a pure
 CHUNK = 256  # points per matmul chunk (= 2 input rows, lane-concatenated)
 CB = 1024  # cells per kernel-grid block
 NW = 8  # hi-groups per block (CB / 128)
-NK = 16  # value columns (5 used; padded so B's lane width is a full tile --
-# Mosaic rejects DMA slices whose lane dim is not 128-aligned, so NK=8/BL=64
-# does not compile)
-BL = NW * NK  # B lane width == 128
+NK = 8  # value columns (5 used + 3 pad). The transposed (BL, P) B layout
+# puts points on lanes, so DMA chunk slices stay 128-lane-aligned for any
+# BL and the half-size B (vs the original NK=16) just halves HBM traffic.
+BL = NW * NK  # B sublane height == 64
 NBUF = 4  # DMA pipeline depth (static slots)
 
 
