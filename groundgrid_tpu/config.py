@@ -91,6 +91,14 @@ class GroundGridConfig:
     # becomes both-branches-execute under vmap, so batched/fleet pipelines
     # set this False only if the host guarantees sorted input).
     sorted_fallback_check: bool = True
+    # Degraded-mode policy for a scan whose pose is missing/non-finite: False
+    # drops the scan (the nodelet's behavior when the cloud transform lookup
+    # fails, GroundGridNodelet.cpp:133-136); True reuses the last good pose
+    # with a warning (the grid updater's stale-transform fallback,
+    # GroundGrid.cpp:102-114). Raw-record streams only -- host-prepared
+    # (native sorted loader) scans were already binned against the bad pose
+    # and are dropped either way.
+    stale_pose_reuse: bool = False
 
     @property
     def cell_count(self) -> int:

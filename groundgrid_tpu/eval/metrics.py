@@ -85,6 +85,26 @@ class Evaluator:
         self.false_positive += np.bincount(gt_g[~gt_is_ground], minlength=m)
         self.clouds += 1
 
+    # -- checkpoint/resume (runtime/checkpoint.py stores this as JSON) -------
+    def state_dict(self) -> dict:
+        """JSON-serializable accumulator state (exact integer counts)."""
+        return dict(
+            sequence=self.sequence,
+            clouds=self.clouds,
+            nonground_count=self.nonground_count.tolist(),
+            true_positive=self.true_positive.tolist(),
+            false_positive=self.false_positive.tolist(),
+            total=self.total.tolist(),
+        )
+
+    def load_state_dict(self, d: dict) -> None:
+        self.sequence = d["sequence"]
+        self.clouds = int(d["clouds"])
+        self.nonground_count = np.asarray(d["nonground_count"], np.int64)
+        self.true_positive = np.asarray(d["true_positive"], np.int64)
+        self.false_positive = np.asarray(d["false_positive"], np.int64)
+        self.total = np.asarray(d["total"], np.int64)
+
     # -- headline metrics (eval_groundpoint_classifier.py:154-195) ----------
     def compute(self) -> Metrics:
         g = self._ground_set

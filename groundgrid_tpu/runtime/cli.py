@@ -28,6 +28,17 @@ def _add_common(p: argparse.ArgumentParser) -> None:
              "rasterizer (default: on when running on TPU)",
     )
     p.add_argument("--no-sorted", dest="sorted_scans", action="store_false")
+    p.add_argument("--native-loader", action="store_true",
+                   help="use the C++ prefetching loader")
+    p.add_argument("--checkpoint", default="",
+                   help="grid-state checkpoint file (.npz) to write "
+                        "periodically (and resume from with --resume)")
+    p.add_argument("--checkpoint-every", type=int, default=500,
+                   help="checkpoint cadence in scans (default 500)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from --checkpoint if it exists (bitwise "
+                        "continuation: state(t) + scans(t+1..) reproduce the "
+                        "uninterrupted run)")
 
 
 def _sorted_mode(args) -> bool:
@@ -47,6 +58,63 @@ def _config(args):
         max_points=args.max_points,
         sorted_scans=_sorted_mode(args),
     )
+
+
+def _records(ds, cfg, args, start_index=None):
+    """Best available record stream for the config (native prep > raw).
+
+    Applies the ``--start``/``--end`` player window uniformly: the native
+    prefetching loaders are seeked to the first in-window scan and cut off
+    past ``--end`` (they previously played the full sequence regardless).
+    ``start_index`` (resume) additionally skips already-processed scans.
+    """
+    first = ds.seek_index(args.start) if args.start > 0 else 0
+    if start_index is not None:
+        first = max(first, int(start_index))
+    end = args.end
+
+    if not getattr(args, "native_loader", False):
+        def gen_raw():
+            for idx in range(first, len(ds)):
+                if float(ds.times[idx]) > end:
+                    return
+                yield ds.read_scan(idx)
+        return gen_raw()
+
+    from groundgrid_tpu.data.native_loader import (
+        PrefetchingLoader, SortedPrefetchingLoader,
+    )
+
+    loader = (
+        SortedPrefetchingLoader(ds, cfg)
+        if cfg.sorted_scans
+        else PrefetchingLoader(ds, cap=cfg.max_points)
+    )
+    if first:
+        loader.seek(first)
+    if end == float("inf"):
+        return iter(loader)
+
+    def gen_native():
+        for rec in loader:
+            if rec.timestamp > end:
+                loader.close()
+                return
+            yield rec
+    return gen_native()
+
+
+def _load_resume(args, cfg):
+    """(state, next_index, extra) from --checkpoint when resuming, else None."""
+    import os
+
+    if not (getattr(args, "resume", False) and args.checkpoint):
+        return None
+    if not os.path.exists(args.checkpoint):
+        return None
+    from groundgrid_tpu.runtime.checkpoint import load_state
+
+    return load_state(args.checkpoint, cfg)
 
 
 def _parse_sequences(spec: str) -> list[str]:
@@ -71,25 +139,19 @@ def cmd_evaluate(args) -> int:
     accumulating one confusion table.
     """
     from groundgrid_tpu.data.semantickitti import SemanticKITTI
-    from groundgrid_tpu.data.native_loader import (
-        PrefetchingLoader, SortedPrefetchingLoader,
-    )
     from groundgrid_tpu.eval.metrics import Evaluator
     from groundgrid_tpu.runtime.driver import StreamingDriver
 
-    def _records(ds, cfg):
-        """Best available record stream for the config (native prep > raw)."""
-        if not args.native_loader:
-            return ds.iter_scans(args.start, args.end)
-        if cfg.sorted_scans:
-            return SortedPrefetchingLoader(ds, cfg)
-        return PrefetchingLoader(ds, cap=args.max_points)
-
+    cfg = _config(args)
     sequences = _parse_sequences(str(args.sequence))
     name = sequences[0] if len(sequences) == 1 else ",".join(sequences)
     per_seq = {}
     total_stats = None
     if args.on_device_eval:
+        if args.checkpoint:
+            print("error: --checkpoint is not supported with --on-device-eval "
+                  "(confusion counts live on device)", file=sys.stderr)
+            return 2
         # step + scoring fully on device; one fetch per 500 clouds + final
         from groundgrid_tpu.eval.metrics import Evaluator as HostEval
         from groundgrid_tpu.runtime.evaluate import evaluate_records
@@ -97,9 +159,7 @@ def cmd_evaluate(args) -> int:
         ev = HostEval(name)
         for seq in sequences:
             ds = SemanticKITTI(args.directory, seq)
-            seq_ev, stats = evaluate_records(
-                _config(args), _records(ds, _config(args)), seq
-            )
+            seq_ev, stats = evaluate_records(cfg, _records(ds, cfg, args), seq)
             per_seq[seq] = seq_ev.compute().as_dict()
             ev.nonground_count += seq_ev.nonground_count
             ev.true_positive += seq_ev.true_positive
@@ -108,13 +168,35 @@ def cmd_evaluate(args) -> int:
             ev.clouds += seq_ev.clouds
             total_stats = stats
     else:
-        driver = StreamingDriver(_config(args))
+        from groundgrid_tpu.runtime.checkpoint import save_state
+
+        driver = StreamingDriver(cfg)
         ev = Evaluator(name)
-        for seq in sequences:
+        seq_start, resume_index = 0, None
+        resumed = _load_resume(args, cfg)
+        if resumed is not None:
+            state, resume_index, extra = resumed
+            driver.restore(state)
+            ev.load_state_dict(extra["evaluator"])
+            per_seq = extra.get("per_sequence", {})
+            if extra.get("sequence") in sequences:
+                seq_start = sequences.index(extra["sequence"])
+            print(f"resumed at sequence {sequences[seq_start]} "
+                  f"scan {resume_index} ({ev.clouds} clouds scored)",
+                  file=sys.stderr, flush=True)
+        for si, seq in enumerate(sequences):
+            if si < seq_start:
+                continue
             ds = SemanticKITTI(args.directory, seq)
-            driver.reset()
-            seq_ev = Evaluator(seq)
-            for rec in _records(ds, driver.config):
+            if si == seq_start and resume_index is not None:
+                seq_ev = Evaluator(seq)
+                seq_ev.load_state_dict(resumed[2]["seq_evaluator"])
+                first = resume_index
+            else:
+                driver.reset()
+                seq_ev = Evaluator(seq)
+                first = None
+            for rec in _records(ds, cfg, args, start_index=first):
                 res = driver.process(rec)
                 if res is None:
                     continue
@@ -122,6 +204,17 @@ def cmd_evaluate(args) -> int:
                 seq_ev.add_cloud(res.labels, rec.labels)
                 if ev.clouds % 500 == 0:  # reference cadence (:123-124)
                     print(ev.format_statistics(), flush=True)
+                if (args.checkpoint and args.checkpoint_every > 0
+                        and ev.clouds % args.checkpoint_every == 0):
+                    save_state(
+                        args.checkpoint, driver.state, rec.index + 1, cfg,
+                        extra=dict(
+                            evaluator=ev.state_dict(),
+                            seq_evaluator=seq_ev.state_dict(),
+                            sequence=seq,
+                            per_sequence=per_seq,
+                        ),
+                    )
             per_seq[seq] = seq_ev.compute().as_dict()
         total_stats = driver.stats
     print(ev.format_statistics(), flush=True)
@@ -141,13 +234,21 @@ def cmd_evaluate(args) -> int:
 
 def cmd_playback(args) -> int:
     from groundgrid_tpu.data.semantickitti import SemanticKITTI
+    from groundgrid_tpu.runtime.checkpoint import save_state
     from groundgrid_tpu.runtime.driver import StreamingDriver
 
     ds = SemanticKITTI(args.directory, args.sequence)
     want_aux = bool(args.export_layers or args.export_terrain)
-    driver = StreamingDriver(_config(args), with_aux=want_aux)
+    cfg = _config(args)
+    driver = StreamingDriver(cfg, with_aux=want_aux)
+    resume_index = None
+    resumed = _load_resume(args, cfg)
+    if resumed is not None:
+        state, resume_index, _ = resumed
+        driver.restore(state)
+        print(f"resumed at scan {resume_index}", file=sys.stderr, flush=True)
     prev_ts = None
-    for res in driver.run(ds.iter_scans(args.start, args.end)):
+    for res in driver.run(_records(ds, cfg, args, start_index=resume_index)):
         if args.rate > 0 and prev_ts is not None:
             # real-time pacing like the player's sim clock
             # (kitti_data_publisher.py:80-109): sleep off the remaining
@@ -176,6 +277,9 @@ def cmd_playback(args) -> int:
                 args.export_terrain, res.aux["ground"], res.aux["points_raw"],
                 res.index, float(center[0]), float(center[1]),
             )
+        if (args.checkpoint and args.checkpoint_every > 0
+                and (res.index + 1) % args.checkpoint_every == 0):
+            save_state(args.checkpoint, driver.state, res.index + 1, cfg)
     return 0
 
 
@@ -199,8 +303,6 @@ def main(argv=None) -> int:
     p_eval = sub.add_parser("evaluate", help="lock-step sequence evaluation")
     p_eval.add_argument("--directory", required=True, help="SemanticKITTI root")
     p_eval.add_argument("--sequence", default="00", help="'00', '00-10' or '00,05'")
-    p_eval.add_argument("--native-loader", action="store_true",
-                        help="use the C++ prefetching loader")
     p_eval.add_argument("--on-device-eval", action="store_true",
                         help="score on device (no per-scan host fetch)")
     _add_common(p_eval)

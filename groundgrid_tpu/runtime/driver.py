@@ -89,27 +89,57 @@ class StreamingDriver:
         # the last applied sort permutation (to restore input point order)
         self._tracker: CenterTracker | None = None
         self._last_order: np.ndarray | None = None
+        self._last_pose: np.ndarray | None = None  # stale-transform fallback
 
-    def _compile(self, rec: ScanRecord) -> None:
+    def ensure_step(self, rec: ScanRecord, prepared: Optional[Scan] = None):
+        """Compile the step executable once (idempotent), and return it.
+
+        On TPU the fresh executable is probe-timed and re-rolled if the
+        compile service returned a de-optimized binary (see
+        pipeline.compile_step_verified); elsewhere it is a plain jit. This is
+        the single compile-verify path shared by :meth:`process` and
+        :func:`runtime.evaluate.evaluate_records`.
+
+        ``prepared``: a ready pipeline :class:`Scan` to probe with (native
+        sorted-loader records carry one); otherwise one is built from ``rec``.
+        """
+        if self.step is not None:
+            return self.step
         import jax
 
         from groundgrid_tpu.pipeline import compile_step_verified
 
         if jax.default_backend() == "tpu":
             probe_state = init_state(self.config, rec.t_map_velo.astype(np.float32))
-            scan = self._make_scan(rec)
+            scan = prepared if prepared is not None else self.make_scan(rec)
             self.step, probe_ms = compile_step_verified(
                 self.config, probe_state, scan, with_aux=self.with_aux
             )
             log.info("compiled step executable: %.2f ms/step probe", probe_ms)
         else:
             self.step = make_step(self.config, with_aux=self.with_aux)
+        return self.step
 
     def reset(self) -> None:
         self.state = None
         self.stats = TimingStats()
         self._tracker = None
         self._last_order = None
+        self._last_pose = None
+
+    def restore(self, state: GridState) -> None:
+        """Install a checkpointed grid state (runtime/checkpoint.py).
+
+        Aligns the host-side center tracker with the restored grid center so
+        a resumed sorted-scan stream bins/sorts against the exact center the
+        uninterrupted run would have used (the tracker recurrence value at
+        the checkpoint boundary IS the stored center).
+        """
+        self.state = state
+        self._tracker = (
+            CenterTracker(self.config, np.asarray(state.center))
+            if self.config.sorted_scans else None
+        )
 
     def reconfigure(self, config: GroundGridConfig) -> None:
         """Swap runtime parameters, keeping the grid state when compatible.
@@ -131,7 +161,7 @@ class StreamingDriver:
             self.state = None
             self._tracker = None
 
-    def _make_scan(self, rec: ScanRecord) -> Scan:
+    def make_scan(self, rec: ScanRecord) -> Scan:
         import jax.numpy as jnp
 
         mv, mb, bm = tf.scan_poses(rec.t_map_velo)
@@ -169,29 +199,30 @@ class StreamingDriver:
         already done by the native sorted loader's prefetch threads).
 
         Degraded-mode semantics as explicit states (the reference drops scans
-        when transforms are unavailable, GroundGridNodelet.cpp:124-136):
-        a record with a non-finite pose is dropped (returns None) and the
-        grid state is left untouched.
+        when transforms are unavailable, GroundGridNodelet.cpp:124-136): a
+        record with a non-finite pose is dropped (returns None) and the grid
+        state is left untouched -- unless ``config.stale_pose_reuse`` is set,
+        in which case the last good pose is reused with a warning (the grid
+        updater's stale-transform fallback, GroundGrid.cpp:102-114).
         """
         if not np.isfinite(rec.t_map_velo).all():
-            log.warning("dropping scan %d: non-finite pose", rec.index)
-            return None
-        prepared = getattr(rec, "scan", None)
-        if self.step is None:
-            if prepared is not None:
-                from groundgrid_tpu.pipeline import compile_step_verified
-                import jax as _jax
-
-                if _jax.default_backend() == "tpu":
-                    probe_state = init_state(
-                        self.config, rec.t_map_velo.astype(np.float32))
-                    self.step, ms = compile_step_verified(
-                        self.config, probe_state, prepared, with_aux=self.with_aux)
-                    log.info("compiled step executable: %.2f ms/step probe", ms)
-                else:
-                    self.step = make_step(self.config, with_aux=self.with_aux)
+            if (
+                self.config.stale_pose_reuse
+                and self._last_pose is not None
+                and getattr(rec, "scan", None) is None
+            ):
+                log.warning(
+                    "scan %d: non-finite pose; reusing last good transform",
+                    rec.index,
+                )
+                rec = dataclasses.replace(rec, t_map_velo=self._last_pose)
             else:
-                self._compile(rec)
+                log.warning("dropping scan %d: non-finite pose", rec.index)
+                return None
+        else:
+            self._last_pose = np.array(rec.t_map_velo, np.float64, copy=True)
+        prepared = getattr(rec, "scan", None)
+        self.ensure_step(rec, prepared)
         t0 = time.perf_counter()
         if self.state is None:
             self.state = init_state(self.config, rec.t_map_velo.astype(np.float32))
@@ -201,7 +232,7 @@ class StreamingDriver:
             scan = prepared
             self._last_order = rec.order
         else:
-            scan = self._make_scan(rec)
+            scan = self.make_scan(rec)
         out = self.step(self.state, scan)
         if self.with_aux:
             self.state, step_out, aux = out

@@ -13,6 +13,7 @@ from __future__ import annotations
 import time
 from typing import Iterable, Optional, Tuple
 
+import jax
 import numpy as np
 
 from groundgrid_tpu.config import GroundGridConfig
@@ -34,40 +35,42 @@ def evaluate_records(
 
     Returns the populated host :class:`Evaluator` and per-scan timing stats.
     """
+    from groundgrid_tpu.pipeline import init_state
+
     driver = StreamingDriver(config)
     dev_eval = evaluator if evaluator is not None else DeviceEvaluator(sequence)
-    stats = TimingStats()
 
+    # Timing: per-iteration spans here would measure async dispatch only (the
+    # axon runtime defers execution past block_until_ready), so we report the
+    # amortized wall time of the whole pipelined run, closed by the forced
+    # device-to-host read in to_host() -- the same forced-completion
+    # methodology as runtime/bench.py. Compile/warm-up is excluded by
+    # restarting the clock after the first scan completes.
+    n = 0
+    t0 = time.perf_counter()
     for rec in records:
         if not np.isfinite(rec.t_map_velo).all():
             continue
         prepared = getattr(rec, "scan", None)  # native sorted loader output
-        if driver.step is None and prepared is None:
-            driver._compile(rec)
-        elif driver.step is None:
-            import jax
-
-            from groundgrid_tpu.pipeline import (
-                compile_step_verified, init_state, make_step,
-            )
-
-            if jax.default_backend() == "tpu":
-                probe = init_state(config, rec.t_map_velo.astype(np.float32))
-                driver.step, _ = compile_step_verified(config, probe, prepared)
-            else:
-                driver.step = make_step(config)
-        t0 = time.perf_counter()
+        driver.ensure_step(rec, prepared)
         if driver.state is None:
-            from groundgrid_tpu.pipeline import init_state
-
             driver.state = init_state(config, rec.t_map_velo.astype(np.float32))
-        scan = prepared if prepared is not None else driver._make_scan(rec)
+        scan = prepared if prepared is not None else driver.make_scan(rec)
         driver.state, out = driver.step(driver.state, scan)
         dev_eval.add_cloud_device(out.labels, scan.rings)
-        stats.update((time.perf_counter() - t0) * 1000.0)
+        n += 1
+        if n == 1:
+            _ = np.asarray(jax.device_get(out.labels))  # drain warm-up
+            t0 = time.perf_counter()
         if progress_every and dev_eval.clouds % progress_every == 0:
             # one D2H checkpoint, mirroring the reference's 500-cloud print
             progress(dev_eval.to_host().format_statistics())
 
-    host_eval = dev_eval.to_host()
+    host_eval = dev_eval.to_host()  # forces completion of the whole stream
+    elapsed_ms = (time.perf_counter() - t0) * 1000.0
+    stats = TimingStats()
+    if n > 1:
+        stats.scans = n - 1
+        stats.total_ms = elapsed_ms
+        stats.avg_ms = elapsed_ms / (n - 1)
     return host_eval, stats

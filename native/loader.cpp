@@ -166,6 +166,7 @@ bool read_scan_files(const Loader& L, int64_t idx, Slot& slot) {
 void worker_main(Loader* L) {
   for (;;) {
     int64_t idx;
+    int64_t gen;
     {
       std::unique_lock<std::mutex> lock(L->mu);
       L->cv_space.wait(lock, [&] {
@@ -175,21 +176,27 @@ void worker_main(Loader* L) {
       });
       if (L->stop.load()) return;
       if (L->next_to_schedule >= L->n_scans) return;
+      // generation is captured under the SAME lock that assigns the index:
+      // a seek() racing between two separate critical sections could tag a
+      // stale-index slot with the fresh generation, letting it survive the
+      // stale-drop below and permanently occupy a queue slot.
       idx = L->next_to_schedule++;
+      gen = L->generation;
     }
     Slot slot;
     slot.index = idx;
-    {
-      std::unique_lock<std::mutex> lock(L->mu);
-      slot.generation = L->generation;
-    }
+    slot.generation = gen;
     read_scan_files(*L, idx, slot);
     if (slot.status == 0 && L->prep.enabled) prep_scan(*L, idx, slot);
     {
       std::unique_lock<std::mutex> lock(L->mu);
       // a seek() may have repositioned the stream while this read was in
-      // flight; stale-generation slots would pin queue space forever.
-      if (slot.generation == L->generation)
+      // flight; stale-generation slots would pin queue space forever. Also
+      // drop duplicates defensively (same index already queued).
+      bool dup = false;
+      for (const auto& d : L->done)
+        if (d.index == slot.index) { dup = true; break; }
+      if (slot.generation == L->generation && !dup)
         L->done.push_back(std::move(slot));
     }
     L->cv_ready.notify_all();
@@ -249,6 +256,9 @@ int64_t gg_loader_next_sorted(void* handle, float* out_px, float* out_py,
                               float* out_pz, int32_t* out_labels,
                               int32_t* out_order, int32_t* out_count) {
   auto* L = static_cast<Loader*>(handle);
+  // loaders created without sorted prep have empty sx/sy/sz/order buffers;
+  // reject instead of memcpy-ing from them (UB through the C ABI).
+  if (!L->prep.enabled) return -3;
   std::unique_lock<std::mutex> lock(L->mu);
   int64_t want = L->next_to_emit;
   if (want >= L->n_scans) return -1;

@@ -75,3 +75,77 @@ def test_render_segmented_cloud():
     img = render_segmented_cloud(x, y, labels, (0.0, 0.0))
     assert img.shape == (720, 720, 3)
     assert (img > 0).any()
+
+
+@pytest.fixture(scope="module")
+def long_dataset_root(tmp_path_factory):
+    """Six-scan single sequence for window/resume tests (dt = 0.1 s)."""
+    root = tmp_path_factory.mktemp("kitti_cli_long")
+    scans = [
+        (p, l, T)
+        for p, l, T in synthetic_sequence(6, seed=5, n_beams=10, n_azimuth=180)
+    ]
+    write_sequence(root, 0, scans)
+    return str(root)
+
+
+def _eval_payload(capsys):
+    return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+@pytest.mark.parametrize("native", [False, True])
+def test_evaluate_start_end_window(long_dataset_root, capsys, native):
+    """--start/--end select the same scan window on every loader path."""
+    extra = ["--native-loader"] if native else []
+    rc = main([
+        "evaluate", "--directory", long_dataset_root, "--sequence", "00",
+        "--start", "0.15", "--end", "0.45",
+    ] + COMMON + extra)
+    assert rc == 0
+    payload = _eval_payload(capsys)
+    assert payload["scans"] == 3  # t = 0.2, 0.3, 0.4
+
+
+def test_evaluate_resume_bitwise(long_dataset_root, capsys, tmp_path):
+    """checkpoint at scan 3 + resume == uninterrupted run, count-exact."""
+    full = main([
+        "evaluate", "--directory", long_dataset_root, "--sequence", "00",
+    ] + COMMON)
+    assert full == 0
+    want = _eval_payload(capsys)
+
+    ckpt = str(tmp_path / "state.npz")
+    rc = main([
+        "evaluate", "--directory", long_dataset_root, "--sequence", "00",
+        "--end", "0.25",  # stop after scan index 2 (t=0.2)
+        "--checkpoint", ckpt, "--checkpoint-every", "3",
+    ] + COMMON)
+    assert rc == 0
+    _ = capsys.readouterr()
+
+    rc = main([
+        "evaluate", "--directory", long_dataset_root, "--sequence", "00",
+        "--checkpoint", ckpt, "--resume",
+    ] + COMMON)
+    assert rc == 0
+    got = _eval_payload(capsys)
+    for key in ("scans", "true_positive", "false_positive", "true_negative",
+                "false_negative", "gt_ground_total"):
+        assert got[key] == want[key], key
+
+
+def test_playback_resume(long_dataset_root, capsys, tmp_path):
+    ckpt = str(tmp_path / "play.npz")
+    rc = main([
+        "playback", "--directory", long_dataset_root, "--sequence", "00",
+        "--end", "0.35", "--checkpoint", ckpt, "--checkpoint-every", "2",
+    ] + COMMON)
+    assert rc == 0
+    first = capsys.readouterr().out.count("scan ")
+    rc = main([
+        "playback", "--directory", long_dataset_root, "--sequence", "00",
+        "--checkpoint", ckpt, "--resume",
+    ] + COMMON)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert first == 4 and out.count("scan ") == 2  # resumes at scan 4

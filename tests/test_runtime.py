@@ -214,3 +214,30 @@ def test_fleet_driver_sorted_matches_streaming(tiny_config):
             np.testing.assert_array_equal(
                 ticks[k].labels[v][: res.n_points], res.labels
             )
+
+
+def test_stale_pose_drop_vs_reuse(tiny_config, tiny_dataset):
+    """Non-finite pose mid-sequence: default drops the scan untouched
+    (GroundGridNodelet.cpp:133-136); stale_pose_reuse=True reuses the last
+    good transform and still produces a result (GroundGrid.cpp:102-114)."""
+    import dataclasses
+
+    records = [tiny_dataset.read_scan(i) for i in range(3)]
+    bad = dataclasses.replace(
+        records[1], t_map_velo=np.full((4, 4), np.nan, np.float64)
+    )
+
+    drop = StreamingDriver(tiny_config)
+    results = [drop.process(r) for r in (records[0], bad, records[2])]
+    assert results[1] is None and results[0] is not None and results[2] is not None
+
+    reuse_cfg = dataclasses.replace(tiny_config, stale_pose_reuse=True)
+    reuse = StreamingDriver(reuse_cfg)
+    r0 = reuse.process(records[0])
+    r1 = reuse.process(bad)
+    assert r0 is not None and r1 is not None
+    # the reused pose is record 0's: the bad scan classifies like a re-send
+    assert set(np.unique(r1.labels)) <= {0, 49, 99}
+    # with no good pose yet, even reuse mode must drop
+    fresh = StreamingDriver(reuse_cfg)
+    assert fresh.process(bad) is None
