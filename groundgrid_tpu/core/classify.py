@@ -94,11 +94,24 @@ def classify(
     # GroundSegmentation.cpp:147,176; published in grid images only, so it is
     # skipped on the hot path unless aux layers were requested).
     if with_counts:
-        inc = (considered & nonground).astype(jnp.float32)
-        cell = jnp.where(considered & nonground, binning.cell, n * n)
-        nonground_count = (
-            jnp.zeros((n * n + 1,), jnp.float32).at[cell].add(inc)[: n * n].reshape(n, n)
-        )
+        nonground_count = nonground_counts(config, binning, labels)
     else:
         nonground_count = jnp.zeros((n, n), jnp.float32)
     return ClassifyResult(labels=labels, nonground_count=nonground_count)
+
+
+def nonground_counts(config: GroundGridConfig, binning: Binning, labels) -> jax.Array:
+    """(N, N) per-cell count of non-ground-labeled points (scatter form).
+
+    ``labels == 99`` is exactly the reference's increment condition
+    (considered & above-tolerance, GroundSegmentation.cpp:176). The sorted
+    pipeline replaces this serial scatter with the one-hot-matmul kernel
+    (see pipeline.make_step_fn).
+    """
+    n = config.cell_count
+    ng = labels == LABEL_NONGROUND
+    inc = ng.astype(jnp.float32)
+    cell = jnp.where(ng, binning.cell, n * n)
+    return (
+        jnp.zeros((n * n + 1,), jnp.float32).at[cell].add(inc)[: n * n].reshape(n, n)
+    )

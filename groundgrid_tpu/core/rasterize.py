@@ -171,15 +171,18 @@ def rasterize_sorted(
     z,
     origin,
     accept,
+    with_max: bool = False,
 ) -> RasterLayers:
     """Scatter-free rasterization for **cell-sorted** scans (Pallas kernel).
 
     Numerically equivalent to :func:`rasterize` (summation tree order
     differs at the ~1 ulp level); the min layer is bitwise identical.
     Requires ``binning.cell`` to be nondecreasing -- the pipeline verifies
-    this on device and falls back to :func:`rasterize` otherwise. The
-    (dead-but-published) maxGroundHeight layer keeps its reset value; use
-    the plain path when aux layers are requested.
+    this on device and falls back to :func:`rasterize` otherwise.
+
+    ``with_max`` (aux-layer mode) adds the real maxGroundHeight layer via an
+    extra masked-max pass inside the kernel; off the aux path the
+    (dead-but-published) layer keeps its reset value.
     """
     from groundgrid_tpu.ops.pallas_raster import build_bt, raster_sums_min
 
@@ -201,7 +204,14 @@ def rasterize_sorted(
         pdc * pdc,
     )
     minv = jnp.where(accept, z - np.float32(1e-4), FLT_MAX)
-    sums, mins = raster_sums_min(binning.cell, b_all, minv, n2)
+    if with_max:
+        maxv = jnp.where(accept, z, FLT_TINY)  # init FLT_MIN quirk (:73)
+        sums, mins, maxs = raster_sums_min(
+            binning.cell, b_all, minv, n2, maxv_sorted=maxv
+        )
+    else:
+        sums, mins = raster_sums_min(binning.cell, b_all, minv, n2)
+        maxs = jnp.full((n2,), FLT_TINY, jnp.float32)
 
     sums_t = sums.T
     return _finish_layers(
@@ -212,7 +222,7 @@ def rasterize_sorted(
         sum_pdc=sums_t[3],
         sum_pdc2=sums_t[4],
         min_gh=mins,
-        max_gh=jnp.full((n2,), FLT_TINY, jnp.float32),
+        max_gh=maxs,
         shift=shift,
     )
 

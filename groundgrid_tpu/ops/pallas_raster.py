@@ -37,6 +37,8 @@ core/rasterize.py).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -45,6 +47,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 FLT_MAX = np.float32(np.finfo(np.float32).max)
+FLT_TINY = np.float32(np.finfo(np.float32).tiny)  # C++ FLT_MIN (max-layer reset quirk)
 
 ROW = 128  # input row width: the (P,) -> (P/ROW, ROW) reshape is a pure
 # bitcast only at 128 lanes (1-D T(1024) tiling == 2-D T(8,128) row-major);
@@ -68,14 +71,20 @@ def padded_cells(n2: int) -> int:
     return _num_blocks(n2 + 1) * CB
 
 
-def _kernel(row_lo_ref, row_hi_ref, cell_ref, minv_ref, b_hbm,
-            sums_ref, mins_ref, b_buf, sems):
+def _kernel(with_max, row_lo_ref, row_hi_ref, cell_ref, minv_ref, *rest):
+    if with_max:
+        maxv_ref, b_hbm, sums_ref, mins_ref, maxs_ref, b_buf, sems = rest
+    else:
+        maxv_ref, maxs_ref = None, None
+        b_hbm, sums_ref, mins_ref, b_buf, sems = rest
     g = pl.program_id(0)
     lo = row_lo_ref[g]
     nch = row_hi_ref[g] - lo
 
     sums_ref[:] = jnp.zeros_like(sums_ref)
     mins_ref[:] = jnp.full_like(mins_ref, FLT_MAX)
+    if with_max:
+        maxs_ref[:] = jnp.full_like(maxs_ref, FLT_TINY)
 
     r_iota = lax.broadcasted_iota(jnp.int32, (128, ROW), 0)
 
@@ -119,6 +128,15 @@ def _kernel(row_lo_ref, row_hi_ref, cell_ref, minv_ref, b_hbm,
             )  # (128, 1)
         mins_ref[:] = jnp.minimum(mins_ref[:], jnp.concatenate(cols, axis=1))
 
+        if with_max:  # aux-layer mode: maxGroundHeight rides the same masks
+            maxrow = maxv_ref[pl.ds(row, 2), :]
+            mcols = []
+            for w in range(NW):
+                v0 = jnp.where(m0 & (w_all[0:1] == w), maxrow[0:1], FLT_TINY)
+                v1 = jnp.where(m1 & (w_all[1:2] == w), maxrow[1:2], FLT_TINY)
+                mcols.append(jnp.max(jnp.maximum(v0, v1), axis=1, keepdims=True))
+            maxs_ref[:] = jnp.maximum(maxs_ref[:], jnp.concatenate(mcols, axis=1))
+
     # 4-deep DMA pipeline, statically unrolled (slots MUST be static: dynamic
     # .at[slot] scratch indexing miscompiles -- see module docstring).
     # Measured ~9% faster than 2-deep; 8-deep is not better.
@@ -143,8 +161,9 @@ def _kernel(row_lo_ref, row_hi_ref, cell_ref, minv_ref, b_hbm,
     lax.fori_loop(0, (nch + NBUF - 1) // NBUF, body, 0)
 
 
-def raster_sums_min(cell_sorted, b_all, minv_sorted, n2: int, interpret: bool = False):
-    """Per-cell sums + min from cell-sorted points.
+def raster_sums_min(cell_sorted, b_all, minv_sorted, n2: int,
+                    interpret: bool = False, maxv_sorted=None):
+    """Per-cell sums + min (and optionally max) from cell-sorted points.
 
     Args:
       cell_sorted: (P,) int32 flat cell ids, **nondecreasing**, in [0, n2]
@@ -152,14 +171,19 @@ def raster_sums_min(cell_sorted, b_all, minv_sorted, n2: int, interpret: bool = 
       b_all: (BL, P) f32 transposed B-matrix from :func:`build_bt`.
       minv_sorted: (P,) f32 min-candidates (+FLT_MAX where not accepted).
       n2: number of real cells (grid N*N).
+      maxv_sorted: optional (P,) f32 max-candidates (FLT_TINY where not
+        accepted); when given, a per-cell max output is added (aux-layer
+        mode: the reference's dead-but-published maxGroundHeight).
 
     Returns:
       sums: (n2, NK) f32 -- per-cell column sums (column k = vals[k]).
       mins: (n2,) f32 -- per-cell minimum of minv (+FLT_MAX where empty).
+      maxs: (n2,) f32 -- only when ``maxv_sorted`` is given.
     """
     p = cell_sorted.shape[0]
     if p % CHUNK:
         raise ValueError(f"point count {p} must be a multiple of {CHUNK}")
+    with_max = maxv_sorted is not None
     nch_total = p // CHUNK
     n_pad = padded_cells(n2)
     g_blocks = _num_blocks(n2 + 1)
@@ -175,36 +199,53 @@ def raster_sums_min(cell_sorted, b_all, minv_sorted, n2: int, interpret: bool = 
     cell2d = cell_sorted.reshape(p // ROW, ROW)
     minv2d = minv_sorted.reshape(p // ROW, ROW)
 
-    sums, mins = pl.pallas_call(
-        _kernel,
+    grid_spec = pl.BlockSpec((128, NW), lambda g: (g, 0), memory_space=pltpu.VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct((g_blocks * 128, BL), jnp.float32),
+        jax.ShapeDtypeStruct((g_blocks * 128, NW), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec((128, BL), lambda g: (g, 0), memory_space=pltpu.VMEM),
+        grid_spec,
+    ]
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    operands = [row_lo, row_hi, cell2d, minv2d]
+    if with_max:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        operands.append(maxv_sorted.reshape(p // ROW, ROW))
+        out_shape.append(jax.ShapeDtypeStruct((g_blocks * 128, NW), jnp.float32))
+        out_specs.append(grid_spec)
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # b_all off-core; DMA'd
+    operands.append(b_all)
+
+    outs = pl.pallas_call(
+        functools.partial(_kernel, with_max),
         grid=(g_blocks,),
-        out_shape=(
-            jax.ShapeDtypeStruct((g_blocks * 128, BL), jnp.float32),
-            jax.ShapeDtypeStruct((g_blocks * 128, NW), jnp.float32),
-        ),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),  # b_all stays off-core; DMA'd
-        ],
-        out_specs=(
-            pl.BlockSpec((128, BL), lambda g: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((128, NW), lambda g: (g, 0), memory_space=pltpu.VMEM),
-        ),
+        out_shape=tuple(out_shape),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
         scratch_shapes=[
             pltpu.VMEM((NBUF, BL, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
         interpret=interpret,
-    )(row_lo, row_hi, cell2d, minv2d, b_all)
+    )(*operands)
+    sums, mins = outs[0], outs[1]
 
-    # unpack [g*128 + lo, NK*w + k] -> cell-major (n_pad, NK); c = CB*g + 128*w + lo
+    def uncol(a):  # [g*128 + lo, w] -> cell-major; c = CB*g + 128*w + lo
+        return a.reshape(g_blocks, 128, NW).transpose(0, 2, 1).reshape(n_pad)[:n2]
+
+    # unpack [g*128 + lo, NK*w + k] -> cell-major (n_pad, NK)
     sums = sums.reshape(g_blocks, 128, NW, NK).transpose(0, 2, 1, 3)
     sums = sums.reshape(n_pad, NK)[:n2]
-    mins = mins.reshape(g_blocks, 128, NW).transpose(0, 2, 1).reshape(n_pad)[:n2]
-    return sums, mins
+    if with_max:
+        return sums, uncol(mins), uncol(outs[2])
+    return sums, uncol(mins)
 
 
 def build_bt(cell, *vals):

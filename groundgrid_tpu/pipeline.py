@@ -184,9 +184,11 @@ def make_step_fn(config: GroundGridConfig, with_aux: bool = False, _salt: int = 
 
         # --- rasterize (cpp:200-311) ---
         accept = binning.inmap & ~binning.ignored & ~outlier
-        if config.sorted_scans and use_pallas and not with_aux:
+        is_sorted = None
+        if config.sorted_scans and use_pallas:
             sorted_fn = functools.partial(
-                rasterlib.rasterize_sorted, config, binning, z, origin, accept
+                rasterlib.rasterize_sorted, config, binning, z, origin,
+                accept, with_max=with_aux,
             )
             if config.sorted_fallback_check:
                 is_sorted = jnp.all(binning.cell[1:] >= binning.cell[:-1])
@@ -195,7 +197,7 @@ def make_step_fn(config: GroundGridConfig, with_aux: bool = False, _salt: int = 
                     sorted_fn,
                     functools.partial(
                         rasterlib.rasterize, config, binning, z, origin,
-                        accept, with_max=False,
+                        accept, with_max=with_aux,
                     ),
                 )
             else:
@@ -222,8 +224,38 @@ def make_step_fn(config: GroundGridConfig, with_aux: bool = False, _salt: int = 
             )
         result = classifylib.classify(
             config, binning, z, ground, raster.variance, outlier,
-            with_counts=with_aux, gh_var=gh_var,
+            with_counts=with_aux and not use_lookup, gh_var=gh_var,
         )
+        if with_aux and use_lookup:
+            # nonground per-cell count via the same one-hot-matmul kernel the
+            # rasterizer uses (a plain scatter here costs ~1 ms): the label
+            # test IS the considered&nonground indicator (labels==99). Unlike
+            # the lookup kernel this REQUIRES sorted cells, so it rides the
+            # same fallback cond as the rasterizer.
+            from groundgrid_tpu.ops.pallas_raster import build_bt, raster_sums_min
+
+            n = config.cell_count
+            labels = result.labels
+
+            def count_kernel():
+                ng = (labels == classifylib.LABEL_NONGROUND).astype(jnp.float32)
+                sums_ng, _ = raster_sums_min(
+                    binning.cell,
+                    build_bt(binning.cell, ng),
+                    jnp.full_like(ng, rasterlib.FLT_MAX),
+                    n * n,
+                )
+                return sums_ng[:, 0].reshape(n, n)
+
+            if is_sorted is not None:
+                counts = jax.lax.cond(
+                    is_sorted,
+                    count_kernel,
+                    lambda: classifylib.nonground_counts(config, binning, labels),
+                )
+            else:
+                counts = count_kernel()
+            result = result._replace(nonground_count=counts)
 
         new_state = GridState(ground=ground, groundpatch=groundpatch, center=state.center)
         out = StepOutput(

@@ -111,8 +111,10 @@ def test_rasterize_sorted_matches_scatter(small_config, small_scans):
         np.testing.assert_array_equal(b[~mask], a[~mask], err_msg=name)
 
 
-def _interp_rsm(cell, b_all, minv, n2):
-    return raster_sums_min(cell, b_all, minv, n2, interpret=True)
+def _interp_rsm(cell, b_all, minv, n2, maxv_sorted=None):
+    return raster_sums_min(
+        cell, b_all, minv, n2, interpret=True, maxv_sorted=maxv_sorted
+    )
 
 
 def test_prepare_scan_device_binning_sorted(small_config, small_scans):
@@ -174,3 +176,58 @@ def test_sorted_pipeline_matches_default(small_config, small_scans):
             np.asarray(state.center), np.asarray(state_s.center)
         )
     assert agree / total > 0.999, f"sorted-vs-default agreement {agree/total:.4%}"
+
+
+def test_kernel_with_max():
+    """Aux-layer variant: per-cell max rides the same masks as the min."""
+    n2 = 96 * 96
+    p = 4096
+    rng = np.random.default_rng(3)
+    cell = np.sort(rng.integers(0, n2 + 1, p)).astype(np.int32)
+    vals = [rng.standard_normal(p).astype(np.float32) for _ in range(5)]
+    minv = rng.standard_normal(p).astype(np.float32)
+    FLT_TINY = np.float32(np.finfo(np.float32).tiny)
+    maxv = np.where(rng.random(p) < 0.6, rng.standard_normal(p), FLT_TINY).astype(np.float32)
+
+    b_all = build_bt(jnp.asarray(cell), *[jnp.asarray(v) for v in vals])
+    sums, mins, maxs = raster_sums_min(
+        jnp.asarray(cell), b_all, jnp.asarray(minv), n2,
+        interpret=True, maxv_sorted=jnp.asarray(maxv),
+    )
+    ref_sums, ref_mins = _numpy_reference(cell, vals, minv, n2)
+    ref_maxs = np.full(n2 + 1, FLT_TINY, np.float32)
+    np.maximum.at(ref_maxs, cell, maxv)
+    np.testing.assert_allclose(np.asarray(sums)[:, :5], ref_sums, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(mins), ref_mins)
+    np.testing.assert_array_equal(np.asarray(maxs), ref_maxs[:n2])
+
+
+def test_rasterize_sorted_with_max_matches_scatter(small_config, small_scans):
+    """with_max=True (aux mode): maxGroundHeight matches the scatter path."""
+    cfg = small_config
+    pts, labels, T = small_scans[0]
+    mv, _, _ = tf.scan_poses(T)
+    x, y, z = tf.transform_points_soa(np.asarray(mv), pts[:, 0], pts[:, 1], pts[:, 2])
+    p = cfg.max_points
+    pad = p - len(x)
+    x = jnp.asarray(np.concatenate([x, np.zeros(pad, np.float32)]))
+    y = jnp.asarray(np.concatenate([y, np.zeros(pad, np.float32)]))
+    z = jnp.asarray(np.concatenate([z, np.zeros(pad, np.float32)]))
+    rings = jnp.asarray(np.concatenate([labels, np.zeros(pad)]).astype(np.int32))
+    valid = jnp.asarray((np.arange(p) < len(pts)).astype(np.int32))
+    origin = jnp.asarray(mv[:3, 3])
+    center = jnp.asarray(mv[:2, 3])
+
+    binning = rasterlib.bin_points(cfg, center, x, y, z, rings, valid > 0, origin)
+    order = np.argsort(np.asarray(binning.cell), kind="stable")
+    binning = jax.tree.map(lambda a: a[order], binning)
+    z_s = z[order]
+    accept = binning.inmap & ~binning.ignored
+
+    want = rasterlib.rasterize(cfg, binning, z_s, origin, accept, with_max=True)
+    import unittest.mock as mock
+    with mock.patch("groundgrid_tpu.ops.pallas_raster.raster_sums_min", _interp_rsm):
+        got = rasterlib.rasterize_sorted(cfg, binning, z_s, origin, accept, with_max=True)
+    a = np.asarray(want.max_ground_height)
+    b = np.asarray(got.max_ground_height)
+    np.testing.assert_array_equal(b, a)
