@@ -67,12 +67,16 @@ class GroundGridConfig:
     ray_steps: int = 96
     # Static bound on the number of below-ground candidate points that are
     # ray-marched per scan. The reference marches every candidate; we compact
-    # the (rare, <~1% of a scan) candidates into a fixed-size buffer.
-    # Overflowing candidates are treated as non-outliers (i.e. kept as
-    # regular points). 1024 is ~2x the worst per-scan candidate count seen on
-    # realistic scans; the march's serial table gather scales with this
-    # (0.17 ms per 1024 candidates at 93 steps on a v5e).
-    max_outlier_candidates: int = 1024
+    # candidates into a fixed-size buffer, keeping the DEEPEST-below-terrain
+    # ones on overflow (core/outliers.py) -- the rest are treated as
+    # non-outliers (i.e. kept as regular points). Warm-scan candidate counts
+    # reach ~1000 at the default geometry (tests/test_full_geometry.py), so
+    # 2048 keeps ~2x headroom; the march's serial table gather scales with
+    # this (~0.16 ms per 1024 candidates at 93 steps on a v5e). Cold-start
+    # scans (fresh grid, everything "below" the sensor-height init) overflow
+    # by design and harmlessly: the confidence map is all-zero, so no march
+    # can fire anywhere.
+    max_outlier_candidates: int = 2048
     # Reproduce the reference's "drop points within 3 cells of the max-index
     # border" quirk (GroundSegmentation.cpp:167-168).
     border_drop: bool = True

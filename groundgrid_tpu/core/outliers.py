@@ -118,45 +118,76 @@ def detect_outliers(
         old_h = pair_table[flat_cell][:, 1]  # 2-wide row gather (see _pair_table)
     cand = binning.inmap & ~binning.ignored & (z < old_h - np.float32(0.2))
 
-    # compact candidates into a fixed-size buffer (top_k == sort by flag).
+    # compact candidates into a fixed-size buffer (top_k == sort by score).
     # (A cumsum + vectorized-binary-search compaction was measured ~3x
     # slower than this sort: XLA's searchsorted while-loop costs ~270 us.)
-    vals, pidx = lax.top_k(cand.astype(jnp.int32), k_max)
-    active = vals > 0
-    px = x[pidx]
-    py = y[pidx]
-    pz = z[pidx]
-    dx = px - origin[0]
-    dy = py - origin[1]
-    dz = pz - origin[2]
-    length = jnp.sqrt(dx * dx + dy * dy + dz * dz)
-    inv_len = 1.0 / jnp.maximum(length, 1e-12)
-    vx = dx * inv_len
-    vy = dy * inv_len
-    vz = dz * inv_len
-    # fold the loop-invariant conditions (GroundSegmentation.cpp:258) into the
-    # per-candidate step budget: inactive or non-descending rays march 0 steps
-    budget = jnp.where(active & (vz < np.float32(-0.01)), length, 0.0)
+    # The score is the depth below the previous terrain, so if a scan ever
+    # overflows ``max_outlier_candidates`` the buffer keeps the *deepest*
+    # candidates -- the ones a warm confidence map can actually fire on --
+    # and sheds the shallow ones first (graceful degradation; the reference
+    # marches every candidate, GroundSegmentation.cpp:242).
+    depth = jnp.where(cand, old_h - z, np.float32(-1.0))
+    vals_full, pidx_full = lax.top_k(depth, k_max)
 
-    # ---- (K, S) march lattice ----
-    # 2-D broadcasts instead of flat candidate-id gathers: device traces show
-    # per-element gathers/scatters run serially (~8.5 ns/elem) on this
-    # backend, so the five j-indexed gathers + the per-candidate scatter of
-    # the flat formulation cost ~34 ms; the broadcast form leaves exactly ONE
-    # serial gather (the occlusion key table).
-    kk = lax.broadcasted_iota(jnp.float32, (k_max, n_steps), 1) + 3.0
-    within = kk < budget[:, None]
+    def march(k: int) -> jax.Array:
+        """March the top-k candidate buffer; returns (P,) 0/1 hits.
 
-    sx = origin[0] + kk * vx[:, None]
-    sy = origin[1] + kk * vy[:, None]
-    i0 = jnp.floor(((center[0] + half) - sx) / res).astype(jnp.int32)
-    i1 = jnp.floor(((center[1] + half) - sy) / res).astype(jnp.int32)
-    inside = (i0 > 0) & (i1 > 0) & (i0 < n - 1) & (i1 < n - 1)
-    flat = jnp.clip(i0, 0, n - 1) * n + jnp.clip(i1, 0, n - 1)
-    key = lax.bitcast_convert_type(pair_table[flat][..., 0], jnp.uint32)
-    thr = _mono_u32(kk * vz[:, None] + origin[2] + tol)
-    hit = within & inside & (key >= thr)
+        The march cost is linear in k (a serial (k x steps, 2) row gather),
+        so the caller sizes k to the scan.
+        """
+        vals = lax.slice_in_dim(vals_full, 0, k)
+        pidx = lax.slice_in_dim(pidx_full, 0, k)
+        active = vals > 0
+        px = x[pidx]
+        py = y[pidx]
+        pz = z[pidx]
+        dx = px - origin[0]
+        dy = py - origin[1]
+        dz = pz - origin[2]
+        length = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+        inv_len = 1.0 / jnp.maximum(length, 1e-12)
+        vx = dx * inv_len
+        vy = dy * inv_len
+        vz = dz * inv_len
+        # fold the loop-invariant conditions (GroundSegmentation.cpp:258) into
+        # the per-candidate step budget: inactive or non-descending rays
+        # march 0 steps
+        budget = jnp.where(active & (vz < np.float32(-0.01)), length, 0.0)
 
-    hit_k = jnp.any(hit, axis=1).astype(jnp.int32)  # reduction, not a scatter
-    out = jnp.zeros((x.shape[0],), jnp.int32).at[pidx].max(hit_k)
+        # ---- (K, S) march lattice ----
+        # 2-D broadcasts instead of flat candidate-id gathers: device traces
+        # show per-element gathers/scatters run serially (~8.5 ns/elem) on
+        # this backend, so the five j-indexed gathers + the per-candidate
+        # scatter of the flat formulation cost ~34 ms; the broadcast form
+        # leaves exactly ONE serial gather (the occlusion key table).
+        kk = lax.broadcasted_iota(jnp.float32, (k, n_steps), 1) + 3.0
+        within = kk < budget[:, None]
+
+        sx = origin[0] + kk * vx[:, None]
+        sy = origin[1] + kk * vy[:, None]
+        i0 = jnp.floor(((center[0] + half) - sx) / res).astype(jnp.int32)
+        i1 = jnp.floor(((center[1] + half) - sy) / res).astype(jnp.int32)
+        inside = (i0 > 0) & (i1 > 0) & (i0 < n - 1) & (i1 < n - 1)
+        flat = jnp.clip(i0, 0, n - 1) * n + jnp.clip(i1, 0, n - 1)
+        key = lax.bitcast_convert_type(pair_table[flat][..., 0], jnp.uint32)
+        thr = _mono_u32(kk * vz[:, None] + origin[2] + tol)
+        hit = within & inside & (key >= thr)
+
+        hit_k = jnp.any(hit, axis=1).astype(jnp.int32)  # reduction, no scatter
+        return jnp.zeros((x.shape[0],), jnp.int32).at[pidx].max(hit_k)
+
+    # Adaptive march size: warm scans have <~1024 candidates (the full
+    # buffer exists for cold starts and damage-heavy scans), so a lax.cond
+    # runs the half-size march whenever the candidates fit in it --
+    # identical results (the extra buffer rows are inactive padding) at half
+    # the serial-gather cost. Under vmap a cond executes both branches, but
+    # the fleet path batches with lax.map, where it stays a real branch.
+    k_small = 1024
+    if k_max > k_small:
+        n_cand = jnp.sum(cand.astype(jnp.int32))
+        out = lax.cond(
+            n_cand <= k_small, lambda: march(k_small), lambda: march(k_max)
+        )
+    else:
+        out = march(k_max)
     return out > 0

@@ -219,6 +219,12 @@ def cmd_evaluate(args) -> int:
         total_stats = driver.stats
     print(ev.format_statistics(), flush=True)
     m = ev.compute()
+    if sequences == ["00"]:
+        # the reference's only published result is the seq-00 table; print
+        # the side-by-side comparison (BASELINE.md acceptance criterion)
+        from groundgrid_tpu.eval.baseline import format_baseline_comparison
+
+        print(format_baseline_comparison(m.as_dict(), ev.clouds), flush=True)
     payload = dict(
         sequences=sequences,
         scans=ev.clouds,

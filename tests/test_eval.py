@@ -99,3 +99,25 @@ def test_evaluate_records_end_to_end(small_config, small_scans):
     m = ev.compute()
     assert ev.clouds == len(records)
     assert m.recall > 0.9
+
+
+def test_baseline_comparison_table():
+    from groundgrid_tpu.eval.baseline import (
+        REFERENCE_SEQ00, format_baseline_comparison,
+    )
+
+    # exact parity -> PASS
+    out = format_baseline_comparison(dict(REFERENCE_SEQ00), scans=4540)
+    assert "PASS" in out and "NO" not in out
+    # beating the reference -> PASS even beyond the 0.5pt band
+    better = {k: min(1.0, v + 0.02) for k, v in REFERENCE_SEQ00.items()}
+    assert "PASS" in format_baseline_comparison(better, scans=4540)
+    # a metric >0.5pt below -> FAIL
+    worse = dict(REFERENCE_SEQ00)
+    worse["ioug"] -= 0.006
+    out = format_baseline_comparison(worse, scans=4540)
+    assert "FAIL" in out and "NO" in out
+    # partial-run note
+    assert "not directly comparable" in format_baseline_comparison(
+        dict(REFERENCE_SEQ00), scans=100
+    )

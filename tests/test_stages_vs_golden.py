@@ -2,9 +2,9 @@
 
 Strategy (SURVEY.md section 7): stages whose math is order-free (rasterize,
 detect, classify, outliers) must match the golden implementation to float32
-tolerance when given identical inputs. The spiral interpolation deliberately
-relaxes within-segment ordering (Jacobi per segment); its test bounds the
-deviation instead of requiring equality.
+tolerance when given identical inputs. The spiral interpolation is an exact
+affine-recurrence parallelization of the sequential walk, so its test asserts
+near-equality too (up to f32 reassociation in the parallel scans).
 """
 
 import numpy as np
