@@ -66,17 +66,24 @@ def occlusion_key_table(config: GroundGridConfig, ground, groundpatch):
     return key.reshape(-1)
 
 
-def _pair_table(config: GroundGridConfig, ground, groundpatch):
-    """(N*N, 2) f32 table: [bitcast(occlusion key), ground].
+def _pair_table(config: GroundGridConfig, ground, groundpatch, key_only: bool):
+    """(N*N, 2) f32 table: [bitcast(occlusion key), ground-or-key].
 
     Row gathers of width >= 2 amortize the per-index overhead of this
     backend's serial gathers (~3x faster than 1-wide), so both the candidate
     test (needs ground) and the ray-march (needs the key) read this one
     two-column table.
+
+    ``key_only`` (lookup-kernel mode, where the candidate test never reads
+    this table): the key is DUPLICATED into both columns, which lets the
+    march's threshold test run in the gather's native (rows, 2) layout as
+    ``any(pair >= thr)`` -- exactly equivalent, and it avoids a ~130 us
+    XLA column-extract relayout of the gathered rows.
     """
     key = occlusion_key_table(config, ground, groundpatch)
     key_f = lax.bitcast_convert_type(key, jnp.float32)
-    return jnp.stack([key_f, ground.reshape(-1)], axis=-1)
+    col2 = key_f if key_only else ground.reshape(-1)
+    return jnp.stack([key_f, col2], axis=-1)
 
 
 def detect_outliers(
@@ -111,7 +118,8 @@ def detect_outliers(
     # old_h is precomputed -- a 1-wide gather from the flat u32 key table was
     # measured 4x SLOWER (679 vs 164 us for 95k rows): row gathers of width
     # >= 2 amortize this backend's per-index overhead.
-    pair_table = _pair_table(config, ground, groundpatch)
+    key_only = old_h is not None
+    pair_table = _pair_table(config, ground, groundpatch, key_only)
 
     if old_h is None:
         flat_cell = jnp.clip(binning.gi0, 0, n - 1) * n + jnp.clip(binning.gi1, 0, n - 1)
@@ -169,9 +177,16 @@ def detect_outliers(
         i1 = jnp.floor(((center[1] + half) - sy) / res).astype(jnp.int32)
         inside = (i0 > 0) & (i1 > 0) & (i0 < n - 1) & (i1 < n - 1)
         flat = jnp.clip(i0, 0, n - 1) * n + jnp.clip(i1, 0, n - 1)
-        key = lax.bitcast_convert_type(pair_table[flat][..., 0], jnp.uint32)
         thr = _mono_u32(kk * vz[:, None] + origin[2] + tol)
-        hit = within & inside & (key >= thr)
+        if key_only:
+            # both table columns hold the key: test in the gather's native
+            # (rows, 2) layout -- no column extract, no relayout copy
+            pairs = lax.bitcast_convert_type(pair_table[flat], jnp.uint32)
+            key_hit = jnp.any(pairs >= thr[..., None], axis=-1)
+        else:
+            key = lax.bitcast_convert_type(pair_table[flat][..., 0], jnp.uint32)
+            key_hit = key >= thr
+        hit = within & inside & key_hit
 
         hit_k = jnp.any(hit, axis=1).astype(jnp.int32)  # reduction, no scatter
         return jnp.zeros((x.shape[0],), jnp.int32).at[pidx].max(hit_k)

@@ -165,6 +165,35 @@ def rasterize(
     )
 
 
+# Sentinel for "no accepted point" in the min column: an exact power of two
+# (bf16-splits to a single part) far above any real height but far below
+# FLT_MAX (whose bf16 rounding overflows to inf and would poison the split).
+MIN_SENT = np.float32(2.0 ** 126)
+
+
+def seg_end_reduce(cell, v, combine):
+    """Run-reduction of ``v`` over equal-``cell`` runs, placed at run ends.
+
+    ``cell`` must be nondecreasing; returns (P,) f32 that holds the combined
+    value of each run at the run's LAST position and 0 elsewhere. A
+    hand-rolled segmented Hillis-Steele scan: ``lax.associative_scan`` on
+    this backend materializes per-level slices (~0.3 ms); this roll+mask
+    form runs in ~14 us for 131k points.
+    """
+    p = v.shape[0]
+    idx = jnp.arange(p, dtype=jnp.int32)
+    same = jnp.concatenate([jnp.zeros((1,), bool), cell[1:] == cell[:-1]])
+    ok = same  # ok[i] after level d: positions i-d+1..i share i's run
+    d = 1
+    while d < p:
+        ok = ok & (idx >= d)  # mask the roll's wrap-around lanes
+        v = jnp.where(ok, combine(v, jnp.roll(v, d)), v)
+        ok = ok & jnp.roll(ok, d)
+        d *= 2
+    is_end = jnp.concatenate([cell[1:] != cell[:-1], jnp.ones((1,), bool)])
+    return jnp.where(is_end, v, 0.0)
+
+
 def rasterize_sorted(
     config: GroundGridConfig,
     binning: Binning,
@@ -176,15 +205,17 @@ def rasterize_sorted(
     """Scatter-free rasterization for **cell-sorted** scans (Pallas kernel).
 
     Numerically equivalent to :func:`rasterize` (summation tree order
-    differs at the ~1 ulp level); the min layer is bitwise identical.
+    differs at the ~1 ulp level); the min/max layers are bitwise identical.
     Requires ``binning.cell`` to be nondecreasing -- the pipeline verifies
     this on device and falls back to :func:`rasterize` otherwise.
 
-    ``with_max`` (aux-layer mode) adds the real maxGroundHeight layer via an
-    extra masked-max pass inside the kernel; off the aux path the
-    (dead-but-published) layer keeps its reset value.
+    The min (and, with ``with_max``, max) layer rides the sum kernel: on
+    sorted input the per-cell min is a segmented cummin whose run-end value
+    is the only nonzero entry of an extra B column, so the one-hot matmul
+    extracts it EXACTLY (one product of an exact 0/1 bf16 mask with an
+    exactly-split value; see ops/pallas_raster.build_bt).
     """
-    from groundgrid_tpu.ops.pallas_raster import build_bt, raster_sums_min
+    from groundgrid_tpu.ops.pallas_raster import build_bt, raster_sums
 
     n = config.cell_count
     n2 = n * n
@@ -195,28 +226,36 @@ def rasterize_sorted(
     shift = jnp.sum(jnp.where(accept, pd, 0.0)) / total
     pdc = jnp.where(accept, pd - shift, 0.0)
 
-    b_all = build_bt(
-        binning.cell,
+    cell = binning.cell
+    minv = jnp.where(accept, z - np.float32(1e-4), MIN_SENT)
+    min_col = seg_end_reduce(cell, minv, jnp.minimum)
+    cols = [
         binning.inmap.astype(jnp.float32),
         acc,
         jnp.where(accept, z, 0.0),
         pdc,
         pdc * pdc,
-    )
-    minv = jnp.where(accept, z - np.float32(1e-4), FLT_MAX)
+        min_col,
+    ]
     if with_max:
         maxv = jnp.where(accept, z, FLT_TINY)  # init FLT_MIN quirk (:73)
-        sums, mins, maxs = raster_sums_min(
-            binning.cell, b_all, minv, n2, maxv_sorted=maxv
-        )
+        cols.append(seg_end_reduce(cell, maxv, jnp.maximum))
+
+    sums = raster_sums(cell, build_bt(cell, *cols), n2)
+    sums_t = sums.T
+    raw = sums_t[0]
+    # cells with no points extract 0; all-ignored cells extract the sentinel
+    mins = jnp.where((raw > 0) & (sums_t[5] < np.float32(1e30)), sums_t[5], FLT_MAX)
+    if with_max:
+        # the reset value FLT_TINY participates in every cell's max (the
+        # reference's +FLT_MIN init quirk beats all-negative-z cells)
+        maxs = jnp.maximum(jnp.where(raw > 0, sums_t[6], FLT_TINY), FLT_TINY)
     else:
-        sums, mins = raster_sums_min(binning.cell, b_all, minv, n2)
         maxs = jnp.full((n2,), FLT_TINY, jnp.float32)
 
-    sums_t = sums.T
     return _finish_layers(
         config,
-        points_raw=sums_t[0],
+        points_raw=raw,
         count=sums_t[1],
         sum_z=sums_t[2],
         sum_pdc=sums_t[3],

@@ -15,20 +15,25 @@ and the one-hot factorizes over c = 128*hi + lo as
     A[lo, p] = (cell[p] mod 128 == lo) & (cell[p] // CB == block)
     B[p, NK*w + k] = (cell[p] // 128 mod NW == w) * vals[k][p]
 
-so each 256-point chunk is ONE (128, 256) @ (256, 128) MXU matmul -- both
-one-hot factors build in their natural (sublane, lane) orientations, no
-transposes anywhere. The per-cell min rides the same A mask as a VPU masked
-min-reduction. Cost is ~2 MXU passes per chunk instead of 256 serial
-scatter updates; measured ~5x faster than the two XLA scatters combined.
+so each 256-point chunk is a handful of bf16 MXU passes -- both one-hot
+factors build in their natural (sublane, lane) orientations, no transposes
+anywhere. A is exactly 0/1 (exact in bf16); B ships as an exact 3-way bf16
+split (see :func:`build_bt`), so the f32 matmul is reconstructed exactly at
+roughly half the MXU cost of ``Precision.HIGHEST`` f32 emulation and with
+no VPU work in the loop. Per-cell min/max layers do NOT run in the kernel:
+on sorted input they are segmented scans whose run-end values ride the same
+matmul as two extra B columns (exactly one nonzero term per cell -- see
+core/rasterize.py), which removed a ~0.12 ms masked-reduce pass.
 
 Work partitioning: kernel grid over blocks of CB=1024 cells; each block
 processes the (chunk-aligned, slightly overlapping) range of 256-point
-chunks containing its points, located via an XLA-side ``searchsorted`` on
-the sorted cell ids. The A-mask's block test makes the chunk overlap exact:
-foreign points in a shared boundary chunk contribute zero. B rows stream
-from HBM with a double-buffered async copy; the buffer slots are *static*
-(the loop is unrolled 2x) -- dynamic ``.at[slot]`` scratch indexing
-miscompiles on this toolchain (silent data corruption, observed).
+chunks containing its points, located by a fused vectorized count on the
+sorted cell ids (XLA searchsorted is a ~56 us serial while-loop). The
+A-mask's block test makes the chunk overlap exact: foreign points in a
+shared boundary chunk contribute zero. B rows stream from HBM with a
+4-deep double-buffered async copy; the buffer slots are *static* --
+dynamic ``.at[slot]`` scratch indexing miscompiles on this toolchain
+(silent data corruption, observed).
 
 Inputs must be sorted by ``cell``; the pipeline verifies monotonicity on
 device and falls back to the XLA scatter path otherwise (see
@@ -71,20 +76,12 @@ def padded_cells(n2: int) -> int:
     return _num_blocks(n2 + 1) * CB
 
 
-def _kernel(with_max, row_lo_ref, row_hi_ref, cell_ref, minv_ref, *rest):
-    if with_max:
-        maxv_ref, b_hbm, sums_ref, mins_ref, maxs_ref, b_buf, sems = rest
-    else:
-        maxv_ref, maxs_ref = None, None
-        b_hbm, sums_ref, mins_ref, b_buf, sems = rest
+def _kernel(row_lo_ref, row_hi_ref, cell_ref, b_hbm, sums_ref, b_buf, sems):
     g = pl.program_id(0)
     lo = row_lo_ref[g]
     nch = row_hi_ref[g] - lo
 
     sums_ref[:] = jnp.zeros_like(sums_ref)
-    mins_ref[:] = jnp.full_like(mins_ref, FLT_MAX)
-    if with_max:
-        maxs_ref[:] = jnp.full_like(maxs_ref, FLT_TINY)
 
     r_iota = lax.broadcasted_iota(jnp.int32, (128, ROW), 0)
 
@@ -103,39 +100,19 @@ def _kernel(with_max, row_lo_ref, row_hi_ref, cell_ref, minv_ref, *rest):
         lo_eq = (cells % 128)
         m0 = (lo_eq[0:1] == r_iota) & in_blk[0:1]  # (128, ROW)
         m1 = (lo_eq[1:2] == r_iota) & in_blk[1:2]
-        a = jnp.concatenate([m0, m1], axis=1).astype(jnp.float32)  # (128, CHUNK)
-        # NT matmul (contract lanes x lanes): B arrives transposed (BL, CHUNK)
-        # because (BL, P) is the orientation the B build produces in natural
-        # row-major layout (P on lanes) -- the (P, BL) form cost a ~0.1 ms
-        # XLA relayout copy per scan.
-        # HIGHEST: the MXU's default bf16 input rounding would corrupt the
-        # f32 value columns; A is exactly 0/1 so f32-emulation is exact.
-        sums_ref[:] += lax.dot_general(
+        a = jnp.concatenate([m0, m1], axis=1).astype(jnp.bfloat16)  # (128, CHUNK)
+        # NT matmul (contract lanes x lanes): B arrives transposed (3*BL,
+        # CHUNK) because (3*BL, P) is the orientation the B build produces in
+        # natural row-major layout (P on lanes). A is exactly 0/1 (exact in
+        # bf16) and B is an exact 3-way bf16 split (see build_bt), so three
+        # single-pass bf16 products reconstruct the exact-f32 matmul at half
+        # the MXU passes of Precision.HIGHEST f32 emulation.
+        s = lax.dot_general(
             a, b_buf[slot],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=lax.Precision.HIGHEST,
-        )
-
-        minrow = minv_ref[pl.ds(row, 2), :]  # (2, ROW)
-        w_all = (cells // 128) % NW
-        cols = []
-        for w in range(NW):
-            v0 = jnp.where(m0 & (w_all[0:1] == w), minrow[0:1], FLT_MAX)
-            v1 = jnp.where(m1 & (w_all[1:2] == w), minrow[1:2], FLT_MAX)
-            cols.append(
-                jnp.min(jnp.minimum(v0, v1), axis=1, keepdims=True)
-            )  # (128, 1)
-        mins_ref[:] = jnp.minimum(mins_ref[:], jnp.concatenate(cols, axis=1))
-
-        if with_max:  # aux-layer mode: maxGroundHeight rides the same masks
-            maxrow = maxv_ref[pl.ds(row, 2), :]
-            mcols = []
-            for w in range(NW):
-                v0 = jnp.where(m0 & (w_all[0:1] == w), maxrow[0:1], FLT_TINY)
-                v1 = jnp.where(m1 & (w_all[1:2] == w), maxrow[1:2], FLT_TINY)
-                mcols.append(jnp.max(jnp.maximum(v0, v1), axis=1, keepdims=True))
-            maxs_ref[:] = jnp.maximum(maxs_ref[:], jnp.concatenate(mcols, axis=1))
+        )  # (128, 3*BL)
+        sums_ref[:] += (s[:, :BL] + s[:, BL : 2 * BL]) + s[:, 2 * BL :]
 
     # 4-deep DMA pipeline, statically unrolled (slots MUST be static: dynamic
     # .at[slot] scratch indexing miscompiles -- see module docstring).
@@ -161,100 +138,76 @@ def _kernel(with_max, row_lo_ref, row_hi_ref, cell_ref, minv_ref, *rest):
     lax.fori_loop(0, (nch + NBUF - 1) // NBUF, body, 0)
 
 
-def raster_sums_min(cell_sorted, b_all, minv_sorted, n2: int,
-                    interpret: bool = False, maxv_sorted=None):
-    """Per-cell sums + min (and optionally max) from cell-sorted points.
+def raster_sums(cell_sorted, b_all, n2: int, interpret: bool = False):
+    """Per-cell column sums from cell-sorted points.
 
     Args:
       cell_sorted: (P,) int32 flat cell ids, **nondecreasing**, in [0, n2]
         (n2 = overflow/padding bin).
-      b_all: (BL, P) f32 transposed B-matrix from :func:`build_bt`.
-      minv_sorted: (P,) f32 min-candidates (+FLT_MAX where not accepted).
+      b_all: (3*BL, P) bf16 split B-matrix from :func:`build_bt`.
       n2: number of real cells (grid N*N).
-      maxv_sorted: optional (P,) f32 max-candidates (FLT_TINY where not
-        accepted); when given, a per-cell max output is added (aux-layer
-        mode: the reference's dead-but-published maxGroundHeight).
 
     Returns:
-      sums: (n2, NK) f32 -- per-cell column sums (column k = vals[k]).
-      mins: (n2,) f32 -- per-cell minimum of minv (+FLT_MAX where empty).
-      maxs: (n2,) f32 -- only when ``maxv_sorted`` is given.
+      sums: (n2, NK) f32 -- per-cell column sums (column k = vals[k]),
+      exactly ``sum_p onehot[c, p] * vals[k][p]`` up to f32 summation-order
+      rounding (products are exact; see build_bt).
     """
     p = cell_sorted.shape[0]
     if p % CHUNK:
         raise ValueError(f"point count {p} must be a multiple of {CHUNK}")
-    with_max = maxv_sorted is not None
     nch_total = p // CHUNK
     n_pad = padded_cells(n2)
     g_blocks = _num_blocks(n2 + 1)
 
-    # chunk-row range per block: points with cell in [g*CB, (g+1)*CB)
+    # chunk-row range per block: points with cell in [g*CB, (g+1)*CB).
+    # searchsorted is NOT used: XLA lowers it to a ~56 us serial while-loop;
+    # on sorted input the insertion point is just a count, and the broadcast
+    # compare + reduce fuses into one ~17 us vector op.
     bounds = jnp.arange(g_blocks + 1, dtype=jnp.int32) * CB
-    pt = jnp.searchsorted(cell_sorted, bounds, side="left").astype(jnp.int32)
+    pt = jnp.sum(
+        (cell_sorted[None, :] < bounds[:, None]).astype(jnp.int32), axis=1
+    ).astype(jnp.int32)
     row_lo = pt[:-1] // CHUNK
     row_hi = jnp.minimum((pt[1:] + CHUNK - 1) // CHUNK, nch_total)
     row_hi = jnp.maximum(row_hi, row_lo)
 
     # minor dim ROW=128: these reshapes are bitcasts, not relayout copies
     cell2d = cell_sorted.reshape(p // ROW, ROW)
-    minv2d = minv_sorted.reshape(p // ROW, ROW)
 
-    grid_spec = pl.BlockSpec((128, NW), lambda g: (g, 0), memory_space=pltpu.VMEM)
-    out_shape = [
-        jax.ShapeDtypeStruct((g_blocks * 128, BL), jnp.float32),
-        jax.ShapeDtypeStruct((g_blocks * 128, NW), jnp.float32),
-    ]
-    out_specs = [
-        pl.BlockSpec((128, BL), lambda g: (g, 0), memory_space=pltpu.VMEM),
-        grid_spec,
-    ]
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),  # b_all off-core; DMA'd
     ]
-    operands = [row_lo, row_hi, cell2d, minv2d]
-    if with_max:
-        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-        operands.append(maxv_sorted.reshape(p // ROW, ROW))
-        out_shape.append(jax.ShapeDtypeStruct((g_blocks * 128, NW), jnp.float32))
-        out_specs.append(grid_spec)
-    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # b_all off-core; DMA'd
-    operands.append(b_all)
-
-    outs = pl.pallas_call(
-        functools.partial(_kernel, with_max),
+    sums = pl.pallas_call(
+        _kernel,
         grid=(g_blocks,),
-        out_shape=tuple(out_shape),
+        out_shape=jax.ShapeDtypeStruct((g_blocks * 128, BL), jnp.float32),
         in_specs=in_specs,
-        out_specs=tuple(out_specs),
+        out_specs=pl.BlockSpec((128, BL), lambda g: (g, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((NBUF, BL, CHUNK), jnp.float32),
+            pltpu.VMEM((NBUF, 3 * BL, CHUNK), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
         interpret=interpret,
-    )(*operands)
-    sums, mins = outs[0], outs[1]
-
-    def uncol(a):  # [g*128 + lo, w] -> cell-major; c = CB*g + 128*w + lo
-        return a.reshape(g_blocks, 128, NW).transpose(0, 2, 1).reshape(n_pad)[:n2]
+    )(row_lo, row_hi, cell2d, b_all)
 
     # unpack [g*128 + lo, NK*w + k] -> cell-major (n_pad, NK)
     sums = sums.reshape(g_blocks, 128, NW, NK).transpose(0, 2, 1, 3)
     sums = sums.reshape(n_pad, NK)[:n2]
-    if with_max:
-        return sums, uncol(mins), uncol(outs[2])
-    return sums, uncol(mins)
+    return sums
 
 
 def build_bt(cell, *vals):
-    """(BL, P) transposed B: ``B[NK*w + k, p] = (cell[p]//128 % NW == w) * vals[k][p]``.
+    """(3*BL, P) bf16 split-B: exact 3-way bf16 decomposition of
+    ``B[NK*w + k, p] = (cell[p]//128 % NW == w) * vals[k][p]``.
 
-    Points ride the LANE dimension throughout, so every broadcast builds in
-    its natural row-major layout and XLA hands the kernel the array with no
-    relayout copy (the (P, BL) orientation cost a ~0.1 ms copy per scan plus
-    a slower minor-dim-16 build).
+    bf16 keeps 8 mantissa bits per part; three parts with round-to-nearest
+    splitting reconstruct any f32 exactly (b2 = fl(v - b1) and
+    b3 = fl(v - b1 - b2) are exact f32 subtractions), so the kernel's three
+    bf16 MXU passes against the exact 0/1 A mask are bit-equivalent to an
+    exact-f32 matmul at half the passes of Precision.HIGHEST.
     """
     if len(vals) > NK:
         raise ValueError(f"at most {NK} value columns, got {len(vals)}")
@@ -265,4 +218,15 @@ def build_bt(cell, *vals):
     v = jnp.stack(
         list(vals) + [jnp.zeros_like(vals[0])] * (NK - len(vals)), axis=0
     )  # (NK, P)
-    return (wm[:, None, :] * v[None, :, :]).reshape(BL, cell.shape[0])
+    b = (wm[:, None, :] * v[None, :, :]).reshape(BL, cell.shape[0])
+    # reduce_precision, NOT a bf16->f32 roundtrip: XLA's fusion pass elides
+    # convert(convert(x, bf16), f32) back to x (observed), silently zeroing
+    # the correction parts. reduce_precision is semantically the same
+    # rounding and cannot be elided.
+    b1f = lax.reduce_precision(b, 8, 7)
+    r1 = b - b1f
+    b2f = lax.reduce_precision(r1, 8, 7)
+    b3 = (r1 - b2f).astype(jnp.bfloat16)
+    return jnp.concatenate(
+        [b1f.astype(jnp.bfloat16), b2f.astype(jnp.bfloat16), b3], axis=0
+    )  # (3*BL, P)

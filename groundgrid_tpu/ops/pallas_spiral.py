@@ -93,12 +93,14 @@ def _affine_hillis_steele(a, b, descending):
     return a
 
 
-def _band_update(config: GroundGridConfig, bh, bc, fixed, lo, hi, descending):
-    """Exact segment update on a lane-major (3, PAD) stencil band.
+def _band_update(config: GroundGridConfig, bh, bc, fixed, lo, hi, descending, woff=0):
+    """Exact segment update on a lane-major (3, WLEN) stencil band.
 
-    ``bh``/``bc`` rows are [fixed-1, fixed, fixed+1]; lane position == global
-    cell coordinate along the walk. Returns the updated (1, PAD) height and
-    confidence rows. See core/interpolate.py for the derivation.
+    ``bh``/``bc`` rows are [fixed-1, fixed, fixed+1]; lane position ``j``
+    holds global cell coordinate ``woff + j`` along the walk (``woff`` is the
+    tier's 128-aligned lane-window offset -- see ``_tiers``). Returns the
+    updated (1, WLEN) height and confidence rows. See core/interpolate.py
+    for the derivation.
     """
     c_idx = config.center_cell
     res2 = float(config.resolution**2)
@@ -106,7 +108,7 @@ def _band_update(config: GroundGridConfig, bh, bc, fixed, lo, hi, descending):
     min_d2 = float(config.min_dist_squared)
 
     shape = (1, bh.shape[1])
-    ys = lax.broadcasted_iota(jnp.int32, shape, 1)
+    ys = lax.broadcasted_iota(jnp.int32, shape, 1) + woff
     in_seg = (ys >= lo) & (ys < hi)
 
     # confidence decay (cpp:462-464): height-independent, precomputable
@@ -149,45 +151,95 @@ def _band_update(config: GroundGridConfig, bh, bc, fixed, lo, hi, descending):
     return h_new, c_new
 
 
-def _segment(config, h_ref, c_ref, fixed, lo, hi, descending, pad, injections):
+def _segment(config, h_ref, c_ref, sc_h, sc_c, out_slot, fixed, lo, hi,
+             descending, injections, woff, wlen):
     """Row-band segment update with corner injections.
 
-    ``injections``: list of ``(band_row, dest_lane, src_h, src_c, shift)`` --
-    patch band row ``band_row`` (0/1/2 == fixed-1/fixed/fixed+1) at lane
-    ``dest_lane`` with the other-orientation value ``src[dest_lane - shift]``
-    (``src`` is a (1, PAD) updated row from an earlier segment).
+    ``injections``: list of ``(band_row, dest_lane, src_slot, shift)`` --
+    patch band row ``band_row`` (0/1/2 == fixed-1/fixed/fixed+1) at global
+    lane ``dest_lane`` with the other-orientation value
+    ``scratch[src_slot, dest_lane - shift]``. Sources live in a small VMEM
+    scratch (``sc_h``/``sc_c``, one row per segment kind N/W/S/E) that each
+    segment also writes its updated row into: static sublane indices, so
+    tier transitions need no carry re-embedding (Mosaic supports neither
+    lane-concatenate of offset-mismatched rows nor dynamic_update_slice).
+    Lanes of a scratch row outside its writer's window are stale, but the
+    single-lane ``sel`` always reads inside it (windows nest).
 
-    Returns the updated ``(h_new, c_new)`` (1, PAD) rows.
+    ``woff``/``wlen``: the tier's 128-aligned lane window (see ``_tiers``);
+    all loads, stores and rows live on lanes [woff, woff+wlen), which must
+    cover [lo-1, hi].
     """
     base = pl.multiple_of((fixed - 1) // 8 * 8, 8)
     off = fixed - 1 - base
-    blk_h = h_ref[pl.ds(base, ROW_BLK), :]
-    blk_c = c_ref[pl.ds(base, ROW_BLK), :]
+    blk_h = h_ref[pl.ds(base, ROW_BLK), pl.ds(woff, wlen)]
+    blk_c = c_ref[pl.ds(base, ROW_BLK), pl.ds(woff, wlen)]
     # rotate the stencil band to static rows [0, 3)
     sh = pltpu.roll(blk_h, (ROW_BLK - off) % ROW_BLK, axis=0)
     sc = pltpu.roll(blk_c, (ROW_BLK - off) % ROW_BLK, axis=0)
 
     rows_h = [sh[0:1], sh[1:2], sh[2:3]]
     rows_c = [sc[0:1], sc[1:2], sc[2:3]]
-    lane = lax.broadcasted_iota(jnp.int32, (1, pad), 1)
-    for band_row, dest, src_h, src_c, shift in injections:
+    lane = lax.broadcasted_iota(jnp.int32, (1, wlen), 1) + woff
+    for band_row, dest, slot, shift in injections:
         sel = lane == dest
+        src_h = sc_h[slot : slot + 1, pl.ds(woff, wlen)]
+        src_c = sc_c[slot : slot + 1, pl.ds(woff, wlen)]
         rows_h[band_row] = jnp.where(sel, _roll(src_h, shift, 1), rows_h[band_row])
         rows_c[band_row] = jnp.where(sel, _roll(src_c, shift, 1), rows_c[band_row])
     bh = jnp.concatenate(rows_h, axis=0)
     bc = jnp.concatenate(rows_c, axis=0)
 
-    h_new, c_new = _band_update(config, bh, bc, fixed, lo, hi, descending)
+    h_new, c_new = _band_update(config, bh, bc, fixed, lo, hi, descending, woff)
 
-    rows = lax.broadcasted_iota(jnp.int32, (ROW_BLK, pad), 0)
+    rows = lax.broadcasted_iota(jnp.int32, (ROW_BLK, wlen), 0)
     sel = rows == (off + 1)
-    h_ref[pl.ds(base, ROW_BLK), :] = jnp.where(sel, h_new, blk_h)
-    c_ref[pl.ds(base, ROW_BLK), :] = jnp.where(sel, c_new, blk_c)
-    return h_new, c_new
+    h_ref[pl.ds(base, ROW_BLK), pl.ds(woff, wlen)] = jnp.where(sel, h_new, blk_h)
+    c_ref[pl.ds(base, ROW_BLK), pl.ds(woff, wlen)] = jnp.where(sel, c_new, blk_c)
+    sc_h[out_slot : out_slot + 1, pl.ds(woff, wlen)] = h_new
+    sc_c[out_slot : out_slot + 1, pl.ds(woff, wlen)] = c_new
+
+
+@functools.lru_cache(maxsize=16)
+def _tiers(pad: int, c_idx: int):
+    """Lane-window tiers: [(woff, wlen, ring_start, ring_stop), ...].
+
+    Ring ``k`` touches global lanes [c_idx-1-k, c_idx+1+k] and its stencil
+    reads one lane beyond on each side; inner rings fit in a narrow
+    128-aligned lane window, making every vector op in the segment update
+    proportionally cheaper (1 vreg instead of pad/128). The tier list covers
+    rings [0, c_idx-1) with nondecreasing window sizes.
+    """
+    total = c_idx - 1
+    tiers = []
+    prev = -1
+    w = 128
+    while w <= pad and prev < total - 1:
+        best = None
+        for woff in range(0, pad - w + 1, 128):
+            # window must cover [c_idx-2-k, c_idx+2+k] (ring + 1-lane stencil)
+            kmax = min(c_idx - 2 - woff, woff + w - 3 - c_idx)
+            if best is None or kmax > best[0]:
+                best = (kmax, woff)
+        kmax, woff = best
+        kmax = min(kmax, total - 1)
+        if kmax > prev:
+            tiers.append((woff, w, prev + 1, kmax + 1))
+            prev = kmax
+        w += 128
+    assert tiers and tiers[-1][3] == total, (tiers, pad, c_idx)
+    # windows must nest (carries re-embed; injection rolls must never wrap)
+    for (o1, w1, _, _), (o2, w2, _, _) in zip(tiers, tiers[1:]):
+        assert o2 <= o1 and o2 + w2 >= o1 + w1, tiers
+    return tuple(tiers)
+
+
+_N, _W, _S, _E = 0, 1, 2, 3  # scratch row slots, one per segment kind
 
 
 def _spiral_kernel(config: GroundGridConfig, pad,
-                   z_ref, h_in, c_in, ht_in, ct_in, h_ref, c_ref, ht_ref, ct_ref):
+                   z_ref, h_in, c_in, ht_in, ct_in, h_ref, c_ref, ht_ref, ct_ref,
+                   sc_h, sc_c):
     # inputs alias outputs (input_output_aliases): in-place updates.
     del h_in, c_in, ht_in, ct_in
     c_idx = config.center_cell
@@ -199,52 +251,52 @@ def _spiral_kernel(config: GroundGridConfig, pad,
     for ref in (c_ref, ct_ref):
         ref[pl.ds(c_idx, 1), pl.ds(c_idx, 1)] = jnp.ones((1, 1), jnp.float32)
 
-    seg = functools.partial(_segment, config)
-
-    def ring(k, carry):
-        # carried (1, PAD) rows: last ring's W / E / S updated rows (both
-        # layers), the corner sources for this ring's foreign reads
-        w_h, w_c, e_h, e_c, s_h, s_c = carry
-        i = c_idx - 1 - k
-        outer = 2 * c_idx - i
-
-        # N: top row i, ascending (reference walk order, cpp:421-439).
-        # foreign reads: (i+1, i+1) <- W(k-1) double-visit [same lane],
-        # (i+1, outer-1) <- E(k-1) [its lane i+1]
-        n_h, n_c = seg(h_ref, c_ref, i, i, outer, False, pad, [
-            (2, i + 1, w_h, w_c, 0),
-            (2, outer - 1, e_h, e_c, outer - i - 2),
-        ])
-        # W: left column == HT row i, ascending.
-        # foreign: (i, i) <- N(k) [lane i], (i, i+1) <- N(k) [lane i+1 -> i],
-        # (outer-1, i+1) <- S(k-1) [lane i+1 -> outer-1]
-        w_h, w_c = seg(ht_ref, ct_ref, i, i, outer, False, pad, [
-            (1, i, n_h, n_c, 0),
-            (2, i, n_h, n_c, -1),
-            (2, outer - 1, s_h, s_c, outer - i - 2),
-        ])
-        # S: bottom row outer, descending.
-        # foreign: (outer-1, i) <- W(k) [lane outer-1 -> i],
-        # (outer-1, outer-1) <- E(k-1) double-visit [same lane]
-        s_h, s_c = seg(h_ref, c_ref, outer, i, outer + 1, True, pad, [
-            (0, i, w_h, w_c, i - outer + 1),
-            (0, outer - 1, e_h, e_c, 0),
-        ])
-        # E: right column == HT row outer, descending.
-        # foreign: (i, outer-1) <- N(k) [lane outer-1 -> i],
-        # (outer, outer-1) <- S(k) [lane outer-1 -> outer],
-        # (outer, outer) <- S(k) double-visit [same lane]
-        e_h, e_c = seg(ht_ref, ct_ref, outer, i, outer + 1, True, pad, [
-            (0, i, n_h, n_c, i - outer + 1),
-            (0, outer, s_h, s_c, 1),
-            (1, outer, s_h, s_c, 0),
-        ])
-        return w_h, w_c, e_h, e_c, s_h, s_c
-
     # ring-0 foreign reads all resolve to the seed cell (z, conf 1)
-    zrow = jnp.full((1, pad), z, jnp.float32)
-    ones = jnp.ones((1, pad), jnp.float32)
-    lax.fori_loop(0, c_idx - 1, ring, (zrow, ones, zrow, ones, zrow, ones))
+    sc_h[:] = jnp.full(sc_h.shape, z, jnp.float32)
+    sc_c[:] = jnp.ones(sc_c.shape, jnp.float32)
+
+    def make_ring(woff, wlen):
+        def ring(k, _):
+            i = c_idx - 1 - k
+            outer = 2 * c_idx - i
+
+            # N: top row i, ascending (reference walk order, cpp:421-439).
+            # foreign reads: (i+1, i+1) <- W(k-1) double-visit [same lane],
+            # (i+1, outer-1) <- E(k-1) [its lane i+1]
+            _segment(config, h_ref, c_ref, sc_h, sc_c, _N, i, i, outer, False, [
+                (2, i + 1, _W, 0),
+                (2, outer - 1, _E, outer - i - 2),
+            ], woff, wlen)
+            # W: left column == HT row i, ascending.
+            # foreign: (i, i) <- N(k) [lane i], (i, i+1) <- N(k) [lane i+1 -> i],
+            # (outer-1, i+1) <- S(k-1) [lane i+1 -> outer-1]
+            _segment(config, ht_ref, ct_ref, sc_h, sc_c, _W, i, i, outer, False, [
+                (1, i, _N, 0),
+                (2, i, _N, -1),
+                (2, outer - 1, _S, outer - i - 2),
+            ], woff, wlen)
+            # S: bottom row outer, descending.
+            # foreign: (outer-1, i) <- W(k) [lane outer-1 -> i],
+            # (outer-1, outer-1) <- E(k-1) double-visit [same lane]
+            _segment(config, h_ref, c_ref, sc_h, sc_c, _S, outer, i, outer + 1, True, [
+                (0, i, _W, i - outer + 1),
+                (0, outer - 1, _E, 0),
+            ], woff, wlen)
+            # E: right column == HT row outer, descending.
+            # foreign: (i, outer-1) <- N(k) [lane outer-1 -> i],
+            # (outer, outer-1) <- S(k) [lane outer-1 -> outer],
+            # (outer, outer) <- S(k) double-visit [same lane]
+            _segment(config, ht_ref, ct_ref, sc_h, sc_c, _E, outer, i, outer + 1, True, [
+                (0, i, _N, i - outer + 1),
+                (0, outer, _S, 1),
+                (1, outer, _S, 0),
+            ], woff, wlen)
+            return 0
+
+        return ring
+
+    for woff, wlen, k_start, k_stop in _tiers(pad, c_idx):
+        lax.fori_loop(k_start, k_stop, make_ring(woff, wlen), 0)
 
 
 @functools.lru_cache(maxsize=8)
@@ -286,6 +338,10 @@ def spiral_interpolation_pallas(
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
         out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM) for _ in range(4)),
         input_output_aliases={1: 0, 2: 1, 3: 2, 4: 3},
+        scratch_shapes=[
+            pltpu.VMEM((8, pad), jnp.float32),  # segment-output rows (N/W/S/E)
+            pltpu.VMEM((8, pad), jnp.float32),
+        ],
         interpret=interpret,
     )(z, gp, cp, gpt, cpt)
     mask = jnp.asarray(_owner_masks(n, config.center_cell))

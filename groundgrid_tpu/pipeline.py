@@ -232,18 +232,15 @@ def make_step_fn(config: GroundGridConfig, with_aux: bool = False, _salt: int = 
             # test IS the considered&nonground indicator (labels==99). Unlike
             # the lookup kernel this REQUIRES sorted cells, so it rides the
             # same fallback cond as the rasterizer.
-            from groundgrid_tpu.ops.pallas_raster import build_bt, raster_sums_min
+            from groundgrid_tpu.ops.pallas_raster import build_bt, raster_sums
 
             n = config.cell_count
             labels = result.labels
 
             def count_kernel():
                 ng = (labels == classifylib.LABEL_NONGROUND).astype(jnp.float32)
-                sums_ng, _ = raster_sums_min(
-                    binning.cell,
-                    build_bt(binning.cell, ng),
-                    jnp.full_like(ng, rasterlib.FLT_MAX),
-                    n * n,
+                sums_ng = raster_sums(
+                    binning.cell, build_bt(binning.cell, ng), n * n
                 )
                 return sums_ng[:, 0].reshape(n, n)
 

@@ -14,30 +14,42 @@ import jax.numpy as jnp
 from groundgrid_tpu.config import GroundGridConfig
 from groundgrid_tpu.core import rasterize as rasterlib
 from groundgrid_tpu.core import transforms as tf
-from groundgrid_tpu.ops.pallas_raster import build_bt, raster_sums_min
+from groundgrid_tpu.ops.pallas_raster import build_bt, raster_sums
 
 FLT_MAX = np.float32(np.finfo(np.float32).max)
 
 
-def _numpy_reference(cell, vals, minv, n2):
+def _numpy_sums(cell, vals, n2):
     sums = np.zeros((n2 + 1, len(vals)), np.float32)
     for k, v in enumerate(vals):
         np.add.at(sums[:, k], cell, v)
-    mins = np.full(n2 + 1, FLT_MAX, np.float32)
-    np.minimum.at(mins, cell, minv)
-    return sums[:n2], mins[:n2]
+    return sums[:n2]
 
 
-def _check(cell, vals, minv, n2):
+def _check(cell, vals, n2):
     b_all = build_bt(jnp.asarray(cell), *[jnp.asarray(v) for v in vals])
-    sums, mins = raster_sums_min(
-        jnp.asarray(cell), b_all, jnp.asarray(minv), n2, interpret=True
-    )
-    ref_sums, ref_mins = _numpy_reference(cell, vals, minv, n2)
+    sums = raster_sums(jnp.asarray(cell), b_all, n2, interpret=True)
+    ref_sums = _numpy_sums(cell, vals, n2)
     np.testing.assert_allclose(
         np.asarray(sums)[:, : len(vals)], ref_sums, rtol=1e-5, atol=1e-5
     )
-    np.testing.assert_array_equal(np.asarray(mins), ref_mins)
+
+
+def test_build_bt_split_exact():
+    """The 3-way bf16 split reconstructs the f32 B matrix bit-exactly."""
+    p = 2048
+    rng = np.random.default_rng(9)
+    cell = np.sort(rng.integers(0, 96 * 96 + 1, p)).astype(np.int32)
+    # mixed magnitudes incl. exact powers of two and the min-column sentinel
+    v = (rng.standard_normal(p) * np.exp(rng.uniform(-8, 8, p))).astype(np.float32)
+    v[:4] = [0.0, np.float32(2.0**126), np.finfo(np.float32).tiny, -300.25]
+    b = np.asarray(build_bt(jnp.asarray(cell), jnp.asarray(v)), np.float32)
+    rec = b[:64] + b[64:128] + b[128:]
+    w = (cell // 128) % 8
+    ref = np.zeros((64, p), np.float32)
+    for ww in range(8):
+        ref[8 * ww] = (w == ww) * v
+    np.testing.assert_array_equal(rec, ref)
 
 
 def test_kernel_random_sorted():
@@ -46,10 +58,7 @@ def test_kernel_random_sorted():
     rng = np.random.default_rng(0)
     cell = np.sort(rng.integers(0, n2 + 1, p)).astype(np.int32)
     vals = [rng.standard_normal(p).astype(np.float32) for _ in range(5)]
-    minv = np.where(
-        rng.random(p) < 0.7, rng.standard_normal(p), FLT_MAX
-    ).astype(np.float32)
-    _check(cell, vals, minv, n2)
+    _check(cell, vals, n2)
 
 
 def test_kernel_edge_distributions():
@@ -57,21 +66,52 @@ def test_kernel_edge_distributions():
     p = 2048
     rng = np.random.default_rng(1)
     vals = [rng.standard_normal(p).astype(np.float32) for _ in range(3)]
-    minv = rng.standard_normal(p).astype(np.float32)
 
     # all points in one cell (a full dense block + empty blocks elsewhere)
-    _check(np.full(p, 4711, np.int32), vals, minv, n2)
+    _check(np.full(p, 4711, np.int32), vals, n2)
     # all points in the overflow/padding bin
-    _check(np.full(p, n2, np.int32), vals, minv, n2)
+    _check(np.full(p, n2, np.int32), vals, n2)
     # points straddling block boundaries (cells around multiples of 1024)
     cell = np.sort(
         (1024 * rng.integers(0, n2 // 1024, p) + rng.integers(-2, 3, p)).clip(0, n2)
     ).astype(np.int32)
-    _check(cell, vals, minv, n2)
+    _check(cell, vals, n2)
+
+
+def test_seg_end_reduce():
+    """Segmented run-reduction: value at run end, 0 elsewhere; all run sizes."""
+    rng = np.random.default_rng(5)
+    for cells in (
+        np.sort(rng.integers(0, 600, 512)),     # mixed runs
+        np.zeros(512, np.int64),                # one giant run (all levels)
+        np.arange(512),                         # all runs length 1
+    ):
+        cells = cells.astype(np.int32)
+        v = rng.standard_normal(512).astype(np.float32)
+        got = np.asarray(
+            rasterlib.seg_end_reduce(jnp.asarray(cells), jnp.asarray(v), jnp.minimum)
+        )
+        ref = np.zeros(512, np.float32)
+        i = 0
+        while i < 512:
+            j = i
+            while j + 1 < 512 and cells[j + 1] == cells[i]:
+                j += 1
+            ref[j] = v[i : j + 1].min()
+            i = j + 1
+        np.testing.assert_array_equal(got, ref)
+
+
+def _interp_rs(cell, b_all, n2):
+    return raster_sums(cell, b_all, n2, interpret=True)
 
 
 def test_rasterize_sorted_matches_scatter(small_config, small_scans):
-    """rasterize_sorted (interpret) == rasterize on identical sorted input."""
+    """rasterize_sorted (interpret) == rasterize on identical sorted input.
+
+    The min layer (segmented-cummin column extracted by the matmul) must be
+    BITWISE equal to the scatter path's .at[].min().
+    """
     cfg = small_config
     pts, labels, T = small_scans[0]
     mv, _, _ = tf.scan_poses(T)
@@ -97,24 +137,21 @@ def test_rasterize_sorted_matches_scatter(small_config, small_scans):
     import unittest.mock as mock
 
     # run the Pallas kernel in interpreter mode (no TPU in CI)
-    with mock.patch("groundgrid_tpu.ops.pallas_raster.raster_sums_min", _interp_rsm):
+    with mock.patch("groundgrid_tpu.ops.pallas_raster.raster_sums", _interp_rs):
         got = rasterlib.rasterize_sorted(cfg, binning, z_s, origin, accept)
 
     for name in want._fields:
         if name == "max_ground_height":
             continue  # sorted path leaves the dead layer at its reset value
         a, b = np.asarray(getattr(want, name)), np.asarray(getattr(got, name))
+        if name == "min_ground_height":
+            np.testing.assert_array_equal(b, a, err_msg=name)
+            continue
         mask = np.isfinite(a) & (np.abs(a) < 1e30)
         np.testing.assert_allclose(
             b[mask], a[mask], rtol=1e-4, atol=1e-4, err_msg=name
         )
         np.testing.assert_array_equal(b[~mask], a[~mask], err_msg=name)
-
-
-def _interp_rsm(cell, b_all, minv, n2, maxv_sorted=None):
-    return raster_sums_min(
-        cell, b_all, minv, n2, interpret=True, maxv_sorted=maxv_sorted
-    )
 
 
 def test_prepare_scan_device_binning_sorted(small_config, small_scans):
@@ -178,32 +215,9 @@ def test_sorted_pipeline_matches_default(small_config, small_scans):
     assert agree / total > 0.999, f"sorted-vs-default agreement {agree/total:.4%}"
 
 
-def test_kernel_with_max():
-    """Aux-layer variant: per-cell max rides the same masks as the min."""
-    n2 = 96 * 96
-    p = 4096
-    rng = np.random.default_rng(3)
-    cell = np.sort(rng.integers(0, n2 + 1, p)).astype(np.int32)
-    vals = [rng.standard_normal(p).astype(np.float32) for _ in range(5)]
-    minv = rng.standard_normal(p).astype(np.float32)
-    FLT_TINY = np.float32(np.finfo(np.float32).tiny)
-    maxv = np.where(rng.random(p) < 0.6, rng.standard_normal(p), FLT_TINY).astype(np.float32)
-
-    b_all = build_bt(jnp.asarray(cell), *[jnp.asarray(v) for v in vals])
-    sums, mins, maxs = raster_sums_min(
-        jnp.asarray(cell), b_all, jnp.asarray(minv), n2,
-        interpret=True, maxv_sorted=jnp.asarray(maxv),
-    )
-    ref_sums, ref_mins = _numpy_reference(cell, vals, minv, n2)
-    ref_maxs = np.full(n2 + 1, FLT_TINY, np.float32)
-    np.maximum.at(ref_maxs, cell, maxv)
-    np.testing.assert_allclose(np.asarray(sums)[:, :5], ref_sums, rtol=1e-5, atol=1e-5)
-    np.testing.assert_array_equal(np.asarray(mins), ref_mins)
-    np.testing.assert_array_equal(np.asarray(maxs), ref_maxs[:n2])
-
-
 def test_rasterize_sorted_with_max_matches_scatter(small_config, small_scans):
-    """with_max=True (aux mode): maxGroundHeight matches the scatter path."""
+    """with_max=True (aux mode): maxGroundHeight matches the scatter path
+    bitwise (segmented-cummax column extracted by the matmul)."""
     cfg = small_config
     pts, labels, T = small_scans[0]
     mv, _, _ = tf.scan_poses(T)
@@ -226,7 +240,7 @@ def test_rasterize_sorted_with_max_matches_scatter(small_config, small_scans):
 
     want = rasterlib.rasterize(cfg, binning, z_s, origin, accept, with_max=True)
     import unittest.mock as mock
-    with mock.patch("groundgrid_tpu.ops.pallas_raster.raster_sums_min", _interp_rsm):
+    with mock.patch("groundgrid_tpu.ops.pallas_raster.raster_sums", _interp_rs):
         got = rasterlib.rasterize_sorted(cfg, binning, z_s, origin, accept, with_max=True)
     a = np.asarray(want.max_ground_height)
     b = np.asarray(got.max_ground_height)
