@@ -244,9 +244,14 @@ def cmd_playback(args) -> int:
     from groundgrid_tpu.runtime.driver import StreamingDriver
 
     ds = SemanticKITTI(args.directory, args.sequence)
-    want_aux = bool(args.export_layers or args.export_terrain)
+    want_aux = bool(args.export_layers or args.export_terrain or args.export_html)
     cfg = _config(args)
     driver = StreamingDriver(cfg, with_aux=want_aux)
+    recorder = None
+    if args.export_html:
+        from groundgrid_tpu.runtime.viz import SequenceRecorder
+
+        recorder = SequenceRecorder(max_frames=args.html_max_frames)
     resume_index = None
     resumed = _load_resume(args, cfg)
     if resumed is not None:
@@ -283,9 +288,27 @@ def cmd_playback(args) -> int:
                 args.export_terrain, res.aux["ground"], res.aux["points_raw"],
                 res.index, float(center[0]), float(center[1]),
             )
+        if recorder is not None and res.index % args.html_every == 0:
+            import numpy as np
+
+            center = np.asarray(driver.state.center)
+            recorder.add(
+                res.x, res.y, res.labels, center,
+                caption=(f"scan {res.index}  "
+                         f"ground={int((res.labels == 49).sum())} "
+                         f"nonground={int((res.labels == 99).sum())}"),
+                layer=res.aux["ground"] if res.aux else None,
+            )
         if (args.checkpoint and args.checkpoint_every > 0
                 and (res.index + 1) % args.checkpoint_every == 0):
             save_state(args.checkpoint, driver.state, res.index + 1, cfg)
+    if recorder is not None:
+        out = recorder.write_html(
+            args.export_html,
+            title=f"groundgrid-tpu seq {args.sequence}",
+        )
+        note = f" ({recorder.dropped} frames past capacity dropped)" if recorder.dropped else ""
+        print(f"wrote {len(recorder.frames)}-frame player to {out}{note}", flush=True)
     return 0
 
 
@@ -320,6 +343,12 @@ def main(argv=None) -> int:
     p_play.add_argument("--export-layers", default="", help="dir for layer PNGs")
     p_play.add_argument("--export-terrain", default="", help="dir for terrain artifacts")
     p_play.add_argument("--export-every", type=int, default=100)
+    p_play.add_argument("--export-html", default="",
+                        help="write an interactive HTML sequence player (RViz "
+                             "playback substitute) to this path")
+    p_play.add_argument("--html-every", type=int, default=5,
+                        help="record every Nth scan into the HTML player")
+    p_play.add_argument("--html-max-frames", type=int, default=400)
     p_play.add_argument("--rate", type=float, default=0.0,
                         help="real-time pacing factor (0 = as fast as possible)")
     _add_common(p_play)

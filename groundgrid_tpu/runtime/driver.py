@@ -50,6 +50,8 @@ class ScanResult:
     n_points: int
     wall_ms: float
     aux: Optional[dict] = None  # grid layers when with_aux
+    x: Optional[np.ndarray] = None  # (P,) map-frame coords when with_aux
+    y: Optional[np.ndarray] = None  # (for cloud rendering / HTML playback)
 
 
 @dataclasses.dataclass
@@ -260,8 +262,22 @@ class StreamingDriver:
             labels = np.concatenate([labels, np.zeros(pad, labels.dtype)])
             outlier = np.concatenate([outlier, np.zeros(pad, outlier.dtype)])
         aux_np = None
+        x_np = y_np = None
         if aux is not None:
             aux_np = {k: np.asarray(v) for k, v in aux._asdict().items()}
+            x_np = np.asarray(jax.device_get(step_out.x))
+            y_np = np.asarray(jax.device_get(step_out.y))
+            if self.config.sorted_scans and self._last_order is not None:
+                ux = np.empty_like(x_np)
+                ux[self._last_order] = x_np
+                uy = np.empty_like(y_np)
+                uy[self._last_order] = y_np
+                x_np, y_np = ux, uy
+            if n > x_np.shape[0]:
+                pad = n - x_np.shape[0]
+                x_np = np.concatenate([x_np, np.zeros(pad, x_np.dtype)])
+                y_np = np.concatenate([y_np, np.zeros(pad, y_np.dtype)])
+            x_np, y_np = x_np[:n], y_np[:n]
         return ScanResult(
             index=rec.index,
             timestamp=rec.timestamp,
@@ -270,6 +286,8 @@ class StreamingDriver:
             n_points=n,
             wall_ms=ms,
             aux=aux_np,
+            x=x_np,
+            y=y_np,
         )
 
     def run(

@@ -24,8 +24,8 @@ def _png_chunk(tag: bytes, data: bytes) -> bytes:
     return struct.pack(">I", len(data)) + chunk + struct.pack(">I", zlib.crc32(chunk))
 
 
-def write_png(path: str, rgb: np.ndarray) -> None:
-    """Write an (H, W, 3) uint8 array as PNG (no external deps)."""
+def png_bytes(rgb: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 array as PNG bytes (no external deps)."""
     h, w, c = rgb.shape
     assert c == 3 and rgb.dtype == np.uint8
     raw = b"".join(b"\x00" + rgb[i].tobytes() for i in range(h))
@@ -33,8 +33,13 @@ def write_png(path: str, rgb: np.ndarray) -> None:
     out += _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
     out += _png_chunk(b"IDAT", zlib.compress(raw, 6))
     out += _png_chunk(b"IEND", b"")
+    return out
+
+
+def write_png(path: str, rgb: np.ndarray) -> None:
+    """Write an (H, W, 3) uint8 array as PNG (no external deps)."""
     with open(path, "wb") as f:
-        f.write(out)
+        f.write(png_bytes(rgb))
 
 
 def _twilight_colormap() -> np.ndarray:
@@ -111,6 +116,123 @@ def render_segmented_cloud(
         m = ok & (lab == value)
         img[u[m], v[m]] = color
     return img
+
+
+class SequenceRecorder:
+    """Collect per-scan renders into a self-contained interactive HTML player.
+
+    The TPU-native replacement for the reference's live RViz playback
+    (``rviz/groundgrid.rviz`` + ``launch/KITTIPlayback.launch:51``): each
+    recorded scan becomes one frame (top-down segmented-cloud render,
+    optionally with a grid-layer inset), and :meth:`write_html` emits a
+    single HTML file with play/pause, frame scrubbing, speed control and
+    keyboard stepping -- viewable anywhere, no ROS/RViz/network needed.
+
+    Frames are PNG-encoded on ``add`` (bounded memory) and embedded as
+    base64 data URIs. ``max_frames`` caps the file size; adds beyond it are
+    dropped with a counter, so a full 4540-scan sequence can be streamed
+    through a strided recorder without pre-counting.
+    """
+
+    def __init__(self, extent: float = 60.0, size: int = 720, max_frames: int = 400):
+        self.extent = float(extent)
+        self.size = int(size)
+        self.max_frames = int(max_frames)
+        self.frames: list[bytes] = []
+        self.captions: list[str] = []
+        self.dropped = 0
+
+    def add(self, x, y, labels, center_xy, caption: str = "",
+            layer: np.ndarray | None = None) -> bool:
+        """Render + append one frame; returns False when at capacity.
+
+        ``layer``: optional (N, N) float grid layer rendered as a
+        quarter-size colormapped inset (bottom-right), mirroring the
+        reference's per-layer image publishers alongside the cloud view.
+        """
+        if len(self.frames) >= self.max_frames:
+            self.dropped += 1
+            return False
+        img = render_segmented_cloud(x, y, labels, center_xy, self.extent, self.size)
+        if layer is not None:
+            inset = layer_to_rgb(np.asarray(layer))
+            k = self.size // 4
+            idx = np.minimum(
+                (np.arange(k)[:, None] * inset.shape[0]) // k, inset.shape[0] - 1
+            )
+            small = inset[idx, (np.arange(k)[None, :] * inset.shape[1]) // k]
+            img[-k:, -k:] = small
+        self.frames.append(png_bytes(img))
+        self.captions.append(caption)
+        return True
+
+    def write_html(self, path: str, title: str = "groundgrid-tpu playback") -> str:
+        """Write the self-contained player; returns ``path``."""
+        import base64
+        import json as _json
+
+        uris = [
+            "data:image/png;base64," + base64.b64encode(f).decode("ascii")
+            for f in self.frames
+        ]
+        html = _PLAYER_HTML.replace("__TITLE__", title)
+        html = html.replace("__FRAMES__", _json.dumps(uris))
+        html = html.replace("__CAPTIONS__", _json.dumps(self.captions))
+        with open(path, "w") as f:
+            f.write(html)
+        return path
+
+
+_PLAYER_HTML = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>__TITLE__</title><style>
+body{background:#111;color:#ddd;font-family:monospace;text-align:center;margin:0}
+#wrap{display:inline-block;margin-top:12px}
+img{image-rendering:pixelated;border:1px solid #333;max-width:92vw}
+#bar{margin:8px 0}
+button{background:#222;color:#ddd;border:1px solid #444;padding:4px 12px;
+margin:0 4px;cursor:pointer;font-family:monospace}
+input[type=range]{width:60%;vertical-align:middle}
+#cap{color:#8c8;min-height:1.2em}
+.legend span{margin:0 10px}
+</style></head><body><div id="wrap">
+<h3>__TITLE__</h3>
+<img id="view" alt="frame">
+<div id="cap"></div>
+<div id="bar">
+<button id="play">&#9654;</button>
+<button id="prev">&#9664;&#9664;</button>
+<button id="next">&#9654;&#9654;</button>
+<input type="range" id="seek" min="0" value="0">
+<span id="pos"></span>
+<select id="fps"><option>2</option><option>5</option><option selected>10</option>
+<option>20</option><option>30</option></select> fps
+</div>
+<div class="legend"><span style="color:#28dc3c">&#9632; ground</span>
+<span style="color:#e63232">&#9632; non-ground</span>
+<span style="color:#888">&#9632; dropped</span></div>
+</div><script>
+const F=__FRAMES__,C=__CAPTIONS__;let i=0,t=null;
+const v=document.getElementById('view'),s=document.getElementById('seek'),
+p=document.getElementById('pos'),cap=document.getElementById('cap'),
+play=document.getElementById('play');
+s.max=F.length-1;
+function show(j){i=(j+F.length)%F.length;v.src=F[i];s.value=i;
+p.textContent=(i+1)+'/'+F.length;cap.textContent=C[i]||'';}
+function tick(){show(i+1);}
+function toggle(){if(t){clearInterval(t);t=null;play.innerHTML='&#9654;';}
+else{t=setInterval(tick,1000/+document.getElementById('fps').value);
+play.innerHTML='&#10074;&#10074;';}}
+play.onclick=toggle;
+document.getElementById('next').onclick=()=>show(i+1);
+document.getElementById('prev').onclick=()=>show(i-1);
+s.oninput=e=>show(+e.target.value);
+document.getElementById('fps').onchange=()=>{if(t){toggle();toggle();}};
+document.addEventListener('keydown',e=>{
+if(e.key==='ArrowRight')show(i+1);else if(e.key==='ArrowLeft')show(i-1);
+else if(e.key===' '){e.preventDefault();toggle();}});
+if(F.length)show(0);
+</script></body></html>
+"""
 
 
 def terrain_artifact(ground: np.ndarray, points_raw: np.ndarray) -> np.ndarray:

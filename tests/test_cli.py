@@ -65,6 +65,31 @@ def test_playback_with_exports(dataset_root, capsys, tmp_path):
     assert len(list((tmp_path / "terrain").glob("*.npy"))) > 0
 
 
+def test_playback_export_html(dataset_root, capsys, tmp_path):
+    out_html = tmp_path / "seq.html"
+    rc = main([
+        "playback", "--directory", dataset_root, "--sequence", "00",
+        "--export-html", str(out_html), "--html-every", "1",
+    ] + COMMON)
+    assert rc == 0
+    assert "2-frame player" in capsys.readouterr().out
+    html = out_html.read_text()
+    assert html.count("data:image/png;base64,") == 2
+    assert "groundgrid-tpu seq 00" in html
+
+
+def test_sequence_recorder_capacity():
+    from groundgrid_tpu.runtime.viz import SequenceRecorder
+
+    rec = SequenceRecorder(size=64, max_frames=2)
+    x = np.zeros(10)
+    labels = np.full(10, 49)
+    assert rec.add(x, x, labels, (0.0, 0.0), caption="a")
+    assert rec.add(x, x, labels, (0.0, 0.0))
+    assert not rec.add(x, x, labels, (0.0, 0.0))
+    assert rec.dropped == 1 and len(rec.frames) == 2
+
+
 def test_render_segmented_cloud():
     from groundgrid_tpu.runtime.viz import render_segmented_cloud
 
