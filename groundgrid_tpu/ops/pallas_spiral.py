@@ -69,23 +69,24 @@ def _affine_hillis_steele(a, b, descending):
     The per-segment scan chain dominates the spiral's critical path (720
     corner-coupled segments run back to back), so scan latency is what the
     whole kernel's time scales with. Exact to f32 rounding vs radix-2.
+
+    The rolls are deliberately UNMASKED (circular): every lane outside the
+    caller's segment has b == 0 -- including both window-boundary lanes,
+    since the tier windows cover [lo-1, hi] (see ``_tiers``) -- so any
+    wrapped-around range's composed b-product crosses a zero and the bogus
+    contribution vanishes exactly. Dropping the per-(level, stride) iota
+    compare + two selects cut the kernel's critical path ~20%.
     """
     n = a.shape[1]
-    idx = lax.broadcasted_iota(jnp.int32, a.shape, 1)
+    sgn = -1 if descending else 1
     d = 1
     while d < n:
         na, nb = a, b
         for s in (d, 2 * d, 3 * d):
             if s >= n:
                 continue
-            if descending:
-                valid = idx < n - s
-                shift = -s
-            else:
-                valid = idx >= s
-                shift = s
-            a_s = jnp.where(valid, _roll(a, shift, 1), 0.0)
-            b_s = jnp.where(valid, _roll(b, shift, 1), 1.0)
+            a_s = _roll(a, sgn * s, 1)
+            b_s = _roll(b, sgn * s, 1)
             na = na + nb * a_s
             nb = nb * b_s
         a, b = na, nb
@@ -123,57 +124,88 @@ def _band_update(config: GroundGridConfig, bh, bc, fixed, lo, hi, descending, wo
     pred = lambda x: _roll(x, sgn, 1)  # walk-predecessor position
     succ = lambda x: _roll(x, -sgn, 1)  # walk-successor position
 
+    # Roll the (3, W) h/c/w BLOCKS, not rows: a (3, W) array occupies the
+    # same vregs as a (1, W) row (both pad to 8 sublanes), so one block roll
+    # replaces three row rolls at identical cost -- 4 rolls instead of 10 on
+    # the 3x3-stencil sums below.
     hh = bh[1:2]
     w = bc * bh
-    lo_w, mid_w, hi_w = w[0:1], w[1:2], w[2:3]
-    lo_c, mid_c, hi_c = bc[0:1], bc[1:2], bc[2:3]
-    num_known = (
-        pred(lo_w) + lo_w + succ(lo_w)
-        + pred(hi_w) + hi_w + succ(hi_w)
-        + mid_w + succ(mid_w)
-    )
-    den_known = (
-        pred(lo_c) + lo_c + succ(lo_c)
-        + pred(hi_c) + hi_c + succ(hi_c)
-        + mid_c + succ(mid_c)
-    )
+    wp, ws = pred(w), succ(w)  # (3, W) each
+    cp, cs = pred(bc), succ(bc)
+    tw = wp + w + ws  # rows: pred+self+succ of [lo_w, mid_w, hi_w]
+    tc = cp + bc + cs
+    mid_c = bc[1:2]
+    # stencil sums (cpp:453-460): all eight 3x3 neighbors in walk order =
+    # full row-sums of the lo/hi rows + self+succ of the mid row
+    num_known = tw[0:1] + tw[2:3] + (w[1:2] + ws[1:2])
+    den_known = tc[0:1] + tc[2:3] + (mid_c + cs[1:2])
 
     pred_in_seg = pred(in_seg.astype(jnp.float32)) > 0.5
-    c_pred = jnp.where(pred_in_seg, pred(c_new), pred(mid_c))
+    c_pred = jnp.where(pred_in_seg, pred(c_new), cp[1:2])
     den = den_known + c_pred + FLT_TINY
 
     blend = jnp.where(in_seg, 1.0 - occ, 0.0)
     b_coef = jnp.where(pred_in_seg, blend * c_pred / den, 0.0)
     num_static = num_known + jnp.where(pred_in_seg, 0.0, c_pred * pred(hh))
     a_coef = jnp.where(in_seg, blend * num_static / den + occ * hh, hh)
-
-    h_new = _affine_hillis_steele(a_coef, b_coef, descending)
-    return h_new, c_new
+    return a_coef, b_coef, c_new
 
 
-def _segment(config, h_ref, c_ref, sc_h, sc_c, out_slot, fixed, lo, hi,
-             descending, injections, woff, wlen):
+def _load_band(h_ref, c_ref, fixed, woff, wlen):
+    """Load the (ROW_BLK, wlen) block whose rows cover [fixed-1, fixed+1]."""
+    base = pl.multiple_of((fixed - 1) // 8 * 8, 8)
+    blk_h = h_ref[pl.ds(base, ROW_BLK), pl.ds(woff, wlen)]
+    blk_c = c_ref[pl.ds(base, ROW_BLK), pl.ds(woff, wlen)]
+    return blk_h, blk_c
+
+
+def _segment(config, h_ref, c_ref, fixed, lo, hi,
+             descending, injections, woff, wlen, blk=None, deferred=None):
     """Row-band segment update with corner injections.
 
-    ``injections``: list of ``(band_row, dest_lane, src_slot, shift)`` --
-    patch band row ``band_row`` (0/1/2 == fixed-1/fixed/fixed+1) at global
+    ``injections``: list of ``(band_row, dest_lane, (src_h, src_c), shift)``
+    -- patch band row ``band_row`` (0/1/2 == fixed-1/fixed/fixed+1) at global
     lane ``dest_lane`` with the other-orientation value
-    ``scratch[src_slot, dest_lane - shift]``. Sources live in a small VMEM
-    scratch (``sc_h``/``sc_c``, one row per segment kind N/W/S/E) that each
-    segment also writes its updated row into: static sublane indices, so
-    tier transitions need no carry re-embedding (Mosaic supports neither
-    lane-concatenate of offset-mismatched rows nor dynamic_update_slice).
-    Lanes of a scratch row outside its writer's window are stale, but the
-    single-lane ``sel`` always reads inside it (windows nest).
+    ``src[dest_lane - shift]``. Sources are the producing segments' updated
+    (1, wlen) rows passed in REGISTERS (returned below, carried across rings
+    by the fori_loop) -- not through VMEM scratch, which would put a
+    store->load roundtrip on the critical path of every corner coupling.
+    Lanes of a carried row outside its producer's segment are stale, but the
+    single-lane ``sel`` always reads inside it (windows nest across tiers).
 
     ``woff``/``wlen``: the tier's 128-aligned lane window (see ``_tiers``);
     all loads, stores and rows live on lanes [woff, woff+wlen), which must
     cover [lo-1, hi].
+
+    ``blk``: optionally pre-loaded band block (see ``make_ring``: for rings
+    k >= HOIST_MIN all four segment loads hoist to ring start, so each
+    load's latency hides under the previous segments' compute).
+
+    Returns ``(early_h, h_new, c_new)``, all (1, wlen):
+      * ``h_new`` is the fully scanned height row (written to the grid);
+      * ``early_h = a + b*roll(a, 1)`` is valid at the segment's FIRST TWO
+        walk positions only (``b == 0`` at the walk start, so the one-stride
+        partial scan is already exact there). 7 of the ring walk's 10 corner
+        couplings read only a producer's first two cells; feeding them from
+        ``early_h`` instead of ``h_new`` takes the producer's full scan off
+        their critical path, so the VLIW scheduler overlaps N's scan with
+        W's band prep (and S's with E's) -- the scan is ~2/3 of the kernel.
+      * ``c_new`` has no scan; every confidence read is "early".
+
+    ``deferred``: optionally ONE injection ``(band_row, dest, src, shift)``
+    whose source is a producer's fully-scanned row (a "late" coupling).
+    Such an injection only perturbs the stencil at the walk's LAST TWO
+    cells, so instead of blocking this segment's scan on the producer's, it
+    is applied as a post-scan fix: re-run the (cheap, latency-off-path) band
+    update with the injection and recompute just the last two walk lanes
+    with two sequential affine steps. With every late coupling deferred,
+    all four ring scans are mutually independent and the VLIW scheduler
+    runs them concurrently. Requires ring length > 3 (k >= 2): the walk's
+    first-two and last-two cells must not overlap.
     """
     base = pl.multiple_of((fixed - 1) // 8 * 8, 8)
     off = fixed - 1 - base
-    blk_h = h_ref[pl.ds(base, ROW_BLK), pl.ds(woff, wlen)]
-    blk_c = c_ref[pl.ds(base, ROW_BLK), pl.ds(woff, wlen)]
+    blk_h, blk_c = blk if blk is not None else _load_band(h_ref, c_ref, fixed, woff, wlen)
     # rotate the stencil band to static rows [0, 3)
     sh = pltpu.roll(blk_h, (ROW_BLK - off) % ROW_BLK, axis=0)
     sc = pltpu.roll(blk_c, (ROW_BLK - off) % ROW_BLK, axis=0)
@@ -181,23 +213,43 @@ def _segment(config, h_ref, c_ref, sc_h, sc_c, out_slot, fixed, lo, hi,
     rows_h = [sh[0:1], sh[1:2], sh[2:3]]
     rows_c = [sc[0:1], sc[1:2], sc[2:3]]
     lane = lax.broadcasted_iota(jnp.int32, (1, wlen), 1) + woff
-    for band_row, dest, slot, shift in injections:
+    for band_row, dest, (src_h, src_c), shift in injections:
         sel = lane == dest
-        src_h = sc_h[slot : slot + 1, pl.ds(woff, wlen)]
-        src_c = sc_c[slot : slot + 1, pl.ds(woff, wlen)]
         rows_h[band_row] = jnp.where(sel, _roll(src_h, shift, 1), rows_h[band_row])
         rows_c[band_row] = jnp.where(sel, _roll(src_c, shift, 1), rows_c[band_row])
     bh = jnp.concatenate(rows_h, axis=0)
     bc = jnp.concatenate(rows_c, axis=0)
 
-    h_new, c_new = _band_update(config, bh, bc, fixed, lo, hi, descending, woff)
+    a, b, c_new = _band_update(config, bh, bc, fixed, lo, hi, descending, woff)
+    sgn = -1 if descending else 1
+    early_h = a + b * _roll(a, sgn, 1)
+    h_new = _affine_hillis_steele(a, b, descending)
+
+    if deferred is not None:
+        band_row, dest, (src_h, src_c), shift = deferred
+        sel = lane == dest
+        rows_h[band_row] = jnp.where(sel, _roll(src_h, shift, 1), rows_h[band_row])
+        rows_c[band_row] = jnp.where(sel, _roll(src_c, shift, 1), rows_c[band_row])
+        a1, b1, _ = _band_update(
+            config,
+            jnp.concatenate(rows_h, axis=0),
+            jnp.concatenate(rows_c, axis=0),
+            fixed, lo, hi, descending, woff,
+        )
+        # the injection perturbs a/b only at the walk's last two lanes;
+        # h_new upstream of them is valid, so two affine steps repair them
+        last = lo if descending else hi - 1
+        penult = lo + 1 if descending else hi - 2
+        f1 = a1 + b1 * _roll(h_new, sgn, 1)
+        h_new = jnp.where(lane == penult, f1, h_new)
+        f2 = a1 + b1 * _roll(h_new, sgn, 1)
+        h_new = jnp.where(lane == last, f2, h_new)
 
     rows = lax.broadcasted_iota(jnp.int32, (ROW_BLK, wlen), 0)
     sel = rows == (off + 1)
     h_ref[pl.ds(base, ROW_BLK), pl.ds(woff, wlen)] = jnp.where(sel, h_new, blk_h)
     c_ref[pl.ds(base, ROW_BLK), pl.ds(woff, wlen)] = jnp.where(sel, c_new, blk_c)
-    sc_h[out_slot : out_slot + 1, pl.ds(woff, wlen)] = h_new
-    sc_c[out_slot : out_slot + 1, pl.ds(woff, wlen)] = c_new
+    return early_h, h_new, c_new
 
 
 @functools.lru_cache(maxsize=16)
@@ -236,6 +288,13 @@ def _tiers(pad: int, c_idx: int):
 
 _N, _W, _S, _E = 0, 1, 2, 3  # scratch row slots, one per segment kind
 
+# Minimum ring index for hoisted band loads: the four segments' 16-row
+# writeback blocks (rows [fixed-1-7, fixed-1+15] around i resp. outer) are
+# pairwise disjoint iff outer - i = 2k + 2 > 22, i.e. k >= 11; below that a
+# later segment's block writeback could clobber an earlier segment's updated
+# row with the stale ring-start load, so small rings load per-segment.
+HOIST_MIN = 11
+
 
 def _spiral_kernel(config: GroundGridConfig, pad,
                    z_ref, h_in, c_in, ht_in, ct_in, h_ref, c_ref, ht_ref, ct_ref,
@@ -251,52 +310,100 @@ def _spiral_kernel(config: GroundGridConfig, pad,
     for ref in (c_ref, ct_ref):
         ref[pl.ds(c_idx, 1), pl.ds(c_idx, 1)] = jnp.ones((1, 1), jnp.float32)
 
-    # ring-0 foreign reads all resolve to the seed cell (z, conf 1)
+    # Scratch rows persist segment outputs ONLY for tier transitions (the
+    # carry rows re-embed at the next tier's window by re-reading them);
+    # within a tier the couplings ride the fori_loop carry in registers.
+    # sc_h rows 0..3 = [W.early, S.late, E.early, E.late]; sc_c rows
+    # 0..2 = [W.c, S.c, E.c].
     sc_h[:] = jnp.full(sc_h.shape, z, jnp.float32)
     sc_c[:] = jnp.ones(sc_c.shape, jnp.float32)
 
-    def make_ring(woff, wlen):
-        def ring(k, _):
+    def make_ring(woff, wlen, hoist):
+        def ring(k, carry):
+            # ring k-1's coupling rows: early = first-two-walk-cells row,
+            # late = fully scanned row (see _segment docstring)
+            w_eh, w_c, s_lh, s_c, e_eh, e_lh, e_c = carry
             i = c_idx - 1 - k
             outer = 2 * c_idx - i
 
+            if hoist:
+                # all four band loads issue up-front; their latency hides
+                # under the preceding segments' compute (rows are pairwise
+                # disjoint for k >= HOIST_MIN, so content is identical to
+                # loading at segment time)
+                blkN = _load_band(h_ref, c_ref, i, woff, wlen)
+                blkW = _load_band(ht_ref, ct_ref, i, woff, wlen)
+                blkS = _load_band(h_ref, c_ref, outer, woff, wlen)
+                blkE = _load_band(ht_ref, ct_ref, outer, woff, wlen)
+            else:
+                blkN = blkW = blkS = blkE = None
+
+            # Each segment has exactly one "late" coupling (a read of a
+            # producer's fully-scanned LAST walk cell); in hoisted rings it
+            # is deferred to the post-scan two-lane fix so the four scans
+            # run concurrently (see _segment docstring).
+            def seg(ref_h, ref_c, fixed, lo2, hi2, desc, early_inj, late_inj, blk2):
+                if hoist:
+                    return _segment(config, ref_h, ref_c, fixed, lo2, hi2, desc,
+                                    early_inj, woff, wlen, blk2, deferred=late_inj)
+                return _segment(config, ref_h, ref_c, fixed, lo2, hi2, desc,
+                                early_inj + [late_inj], woff, wlen, blk2)
+
             # N: top row i, ascending (reference walk order, cpp:421-439).
-            # foreign reads: (i+1, i+1) <- W(k-1) double-visit [same lane],
-            # (i+1, outer-1) <- E(k-1) [its lane i+1]
-            _segment(config, h_ref, c_ref, sc_h, sc_c, _N, i, i, outer, False, [
-                (2, i + 1, _W, 0),
-                (2, outer - 1, _E, outer - i - 2),
-            ], woff, wlen)
+            # foreign reads: (i+1, i+1) <- W(k-1)'s FIRST walk cell (early),
+            # (i+1, outer-1) <- E(k-1)'s LAST walk cell [its lane i+1]
+            n_eh, n_lh, n_c = seg(h_ref, c_ref, i, i, outer, False, [
+                (2, i + 1, (w_eh, w_c), 0),
+            ], (2, outer - 1, (e_lh, e_c), outer - i - 2), blkN)
             # W: left column == HT row i, ascending.
-            # foreign: (i, i) <- N(k) [lane i], (i, i+1) <- N(k) [lane i+1 -> i],
-            # (outer-1, i+1) <- S(k-1) [lane i+1 -> outer-1]
-            _segment(config, ht_ref, ct_ref, sc_h, sc_c, _W, i, i, outer, False, [
-                (1, i, _N, 0),
-                (2, i, _N, -1),
-                (2, outer - 1, _S, outer - i - 2),
-            ], woff, wlen)
+            # foreign: (i, i) <- N(k) walk cell 1, (i, i+1) <- N(k) walk
+            # cell 2 [lane i+1 -> i] -- both early -> W's band prep does NOT
+            # wait for N's scan; (outer-1, i+1) <- S(k-1) last [-> outer-1]
+            w_eh, w_lh, w_c = seg(ht_ref, ct_ref, i, i, outer, False, [
+                (1, i, (n_eh, n_c), 0),
+                (2, i, (n_eh, n_c), -1),
+            ], (2, outer - 1, (s_lh, s_c), outer - i - 2), blkW)
             # S: bottom row outer, descending.
-            # foreign: (outer-1, i) <- W(k) [lane outer-1 -> i],
-            # (outer-1, outer-1) <- E(k-1) double-visit [same lane]
-            _segment(config, h_ref, c_ref, sc_h, sc_c, _S, outer, i, outer + 1, True, [
-                (0, i, _W, i - outer + 1),
-                (0, outer - 1, _E, 0),
-            ], woff, wlen)
+            # foreign: (outer-1, i) <- W(k)'s LAST walk cell [lane i],
+            # (outer-1, outer-1) <- E(k-1)'s first walk cell (early)
+            s_eh, s_lh, s_c = seg(h_ref, c_ref, outer, i, outer + 1, True, [
+                (0, outer - 1, (e_eh, e_c), 0),
+            ], (0, i, (w_lh, w_c), i - outer + 1), blkS)
             # E: right column == HT row outer, descending.
-            # foreign: (i, outer-1) <- N(k) [lane outer-1 -> i],
-            # (outer, outer-1) <- S(k) [lane outer-1 -> outer],
-            # (outer, outer) <- S(k) double-visit [same lane]
-            _segment(config, ht_ref, ct_ref, sc_h, sc_c, _E, outer, i, outer + 1, True, [
-                (0, i, _N, i - outer + 1),
-                (0, outer, _S, 1),
-                (1, outer, _S, 0),
-            ], woff, wlen)
-            return 0
+            # foreign: (i, outer-1) <- N(k)'s LAST walk cell [lane i],
+            # (outer, outer-1) <- S(k) walk cell 2 [lane outer-1 -> outer],
+            # (outer, outer) <- S(k) walk cell 1 -- both early -> E's band
+            # prep overlaps S's scan
+            e_eh, e_lh, e_c = seg(ht_ref, ct_ref, outer, i, outer + 1, True, [
+                (0, outer, (s_eh, s_c), 1),
+                (1, outer, (s_eh, s_c), 0),
+            ], (0, i, (n_lh, n_c), i - outer + 1), blkE)
+
+            # persist for the next tier's carry re-embed (dead until tier end)
+            for slot, row in enumerate((w_eh, s_lh, e_eh, e_lh)):
+                sc_h[slot : slot + 1, pl.ds(woff, wlen)] = row
+            for slot, row in enumerate((w_c, s_c, e_c)):
+                sc_c[slot : slot + 1, pl.ds(woff, wlen)] = row
+            return (w_eh, w_c, s_lh, s_c, e_eh, e_lh, e_c)
 
         return ring
 
+    first = True
     for woff, wlen, k_start, k_stop in _tiers(pad, c_idx):
-        lax.fori_loop(k_start, k_stop, make_ring(woff, wlen), 0)
+        if first:
+            seed_h = jnp.full((1, wlen), z, jnp.float32)
+            seed_c = jnp.ones((1, wlen), jnp.float32)
+            carry = (seed_h, seed_c, seed_h, seed_c, seed_h, seed_h, seed_c)
+            first = False
+        else:
+            # re-embed the carry rows at this tier's (wider) window
+            h_rows = [sc_h[s : s + 1, pl.ds(woff, wlen)] for s in range(4)]
+            c_rows = [sc_c[s : s + 1, pl.ds(woff, wlen)] for s in range(3)]
+            carry = (h_rows[0], c_rows[0], h_rows[1], c_rows[1],
+                     h_rows[2], h_rows[3], c_rows[2])
+        cuts = sorted({k_start, min(max(k_start, HOIST_MIN), k_stop), k_stop})
+        for a, b in zip(cuts, cuts[1:]):
+            carry = lax.fori_loop(a, b, make_ring(woff, wlen, a >= HOIST_MIN), carry)
 
 
 @functools.lru_cache(maxsize=8)
