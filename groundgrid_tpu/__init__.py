@@ -73,4 +73,8 @@ def __getattr__(name):
         from groundgrid_tpu.parallel.spatial import make_spatial_step
 
         return make_spatial_step
+    if name == "MultiHostFleet":
+        from groundgrid_tpu.parallel.multihost import MultiHostFleet
+
+        return MultiHostFleet
     raise AttributeError(f"module 'groundgrid_tpu' has no attribute {name!r}")
