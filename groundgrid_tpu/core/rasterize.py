@@ -213,9 +213,9 @@ def rasterize_sorted(
     sorted input the per-cell min is a segmented cummin whose run-end value
     is the only nonzero entry of an extra B column, so the one-hot matmul
     extracts it EXACTLY (one product of an exact 0/1 bf16 mask with an
-    exactly-split value; see ops/pallas_raster.build_bt).
+    exactly-split value; see ops/pallas_raster.build_parts).
     """
-    from groundgrid_tpu.ops.pallas_raster import build_bt, raster_sums
+    from groundgrid_tpu.ops.pallas_raster import raster_sums
 
     n = config.cell_count
     n2 = n * n
@@ -229,6 +229,9 @@ def rasterize_sorted(
     cell = binning.cell
     minv = jnp.where(accept, z - np.float32(1e-4), MIN_SENT)
     min_col = seg_end_reduce(cell, minv, jnp.minimum)
+    # the two 0/1 indicator columns are bf16-exact and ship as single split
+    # parts -- this is what keeps the standard call inside one MXU N-tile
+    # (see ops/pallas_raster.build_parts)
     cols = [
         binning.inmap.astype(jnp.float32),
         acc,
@@ -237,11 +240,13 @@ def rasterize_sorted(
         pdc * pdc,
         min_col,
     ]
+    exact = [True, True, False, False, False, False]
     if with_max:
         maxv = jnp.where(accept, z, FLT_TINY)  # init FLT_MIN quirk (:73)
         cols.append(seg_end_reduce(cell, maxv, jnp.maximum))
+        exact.append(False)
 
-    sums = raster_sums(cell, build_bt(cell, *cols), n2)
+    sums = raster_sums(cell, cols, exact, n2)
     sums_t = sums.T
     raw = sums_t[0]
     # cells with no points extract 0; all-ignored cells extract the sentinel

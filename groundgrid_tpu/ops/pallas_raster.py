@@ -11,19 +11,24 @@ cell id* the scatter becomes a dense block-local reduction,
 
 and the one-hot factorizes over c = 128*hi + lo as
 
-    sums[lo, NK*(hi mod NW) + k] += A[lo, p] * B[p, NK*(hi mod NW) + k]
+    sums[lo, C*(hi mod NW) + j] += A[lo, p] * B[p, C*(hi mod NW) + j]
     A[lo, p] = (cell[p] mod 128 == lo) & (cell[p] // CB == block)
-    B[p, NK*w + k] = (cell[p] // 128 mod NW == w) * vals[k][p]
+    B[p, C*w + j] = (cell[p] // 128 mod NW == w) * parts[j][p]
 
 so each 256-point chunk is a handful of bf16 MXU passes -- both one-hot
 factors build in their natural (sublane, lane) orientations, no transposes
-anywhere. A is exactly 0/1 (exact in bf16); B ships as an exact 3-way bf16
-split (see :func:`build_bt`), so the f32 matmul is reconstructed exactly at
-roughly half the MXU cost of ``Precision.HIGHEST`` f32 emulation and with
-no VPU work in the loop. Per-cell min/max layers do NOT run in the kernel:
-on sorted input they are segmented scans whose run-end values ride the same
-matmul as two extra B columns (exactly one nonzero term per cell -- see
-core/rasterize.py), which removed a ~0.12 ms masked-reduce pass.
+anywhere. A is exactly 0/1 (exact in bf16); each value column ships as a
+COLUMN-AWARE exact bf16 split (see :func:`build_parts`): 0/1 indicator
+columns are bf16-exact in ONE part, real-valued columns take the exact
+3-way round-to-nearest split. The packing matters for speed, not just
+memory: the standard 6-column call packs into NW*14 = 112 B-rows -- a
+single 128-lane MXU N-tile -- where a uniform 3-way split needs 192 rows
+and two N-tiles. The MXU pass count (the kernel's measured wall: per-chunk
+matmuls with fresh weights run far below peak) halves: 210 -> 130 us/scan.
+Per-cell min/max layers do NOT run in the kernel: on sorted input they are
+segmented scans whose run-end values ride the same matmul as extra columns
+(exactly one nonzero term per cell -- see core/rasterize.py), keeping them
+bitwise exact through the split.
 
 Work partitioning: kernel grid over blocks of CB=1024 cells; each block
 processes the (chunk-aligned, slightly overlapping) range of 256-point
@@ -60,10 +65,6 @@ ROW = 128  # input row width: the (P,) -> (P/ROW, ROW) reshape is a pure
 CHUNK = 256  # points per matmul chunk (= 2 input rows, lane-concatenated)
 CB = 1024  # cells per kernel-grid block
 NW = 8  # hi-groups per block (CB / 128)
-NK = 8  # value columns (5 used + 3 pad). The transposed (BL, P) B layout
-# puts points on lanes, so DMA chunk slices stay 128-lane-aligned for any
-# BL and the half-size B (vs the original NK=16) just halves HBM traffic.
-BL = NW * NK  # B sublane height == 64
 NBUF = 4  # DMA pipeline depth (static slots)
 
 
@@ -76,88 +77,150 @@ def padded_cells(n2: int) -> int:
     return _num_blocks(n2 + 1) * CB
 
 
-def _kernel(row_lo_ref, row_hi_ref, cell_ref, b_hbm, sums_ref, b_buf, sems):
-    g = pl.program_id(0)
-    lo = row_lo_ref[g]
-    nch = row_hi_ref[g] - lo
+def build_parts(cell, cols, exact):
+    """(NW*C, P) bf16 split-B with a column-aware exact decomposition.
 
-    sums_ref[:] = jnp.zeros_like(sums_ref)
+    ``cols``: value columns (each (P,) f32). ``exact``: per-column bool --
+    True promises the column's values are exactly bf16-representable (0/1
+    indicators, small integers), shipping in ONE part; False takes the
+    exact 3-way bf16 split (b2 = fl(v - b1), b3 = fl(v - b1 - b2) are exact
+    f32 subtractions, so the three parts sum to v exactly).
 
-    r_iota = lax.broadcasted_iota(jnp.int32, (128, ROW), 0)
-
-    def dma(i, slot):
-        return pltpu.make_async_copy(
-            b_hbm.at[:, pl.ds((lo + i) * CHUNK, CHUNK)],
-            b_buf.at[slot],
-            sems.at[slot],
-        )
-
-    def compute(i, slot):
-        row = (lo + i) * (CHUNK // ROW)
-        cells = cell_ref[pl.ds(row, 2), :]  # (2, ROW) i32
-        in_blk = (cells // CB) == g
-        # two half-chunk masks in natural layout, lane-concat for the matmul
-        lo_eq = (cells % 128)
-        m0 = (lo_eq[0:1] == r_iota) & in_blk[0:1]  # (128, ROW)
-        m1 = (lo_eq[1:2] == r_iota) & in_blk[1:2]
-        a = jnp.concatenate([m0, m1], axis=1).astype(jnp.bfloat16)  # (128, CHUNK)
-        # NT matmul (contract lanes x lanes): B arrives transposed (3*BL,
-        # CHUNK) because (3*BL, P) is the orientation the B build produces in
-        # natural row-major layout (P on lanes). A is exactly 0/1 (exact in
-        # bf16) and B is an exact 3-way bf16 split (see build_bt), so three
-        # single-pass bf16 products reconstruct the exact-f32 matmul at half
-        # the MXU passes of Precision.HIGHEST f32 emulation.
-        s = lax.dot_general(
-            a, b_buf[slot],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (128, 3*BL)
-        sums_ref[:] += (s[:, :BL] + s[:, BL : 2 * BL]) + s[:, 2 * BL :]
-
-    # 4-deep DMA pipeline, statically unrolled (slots MUST be static: dynamic
-    # .at[slot] scratch indexing miscompiles -- see module docstring).
-    # Measured ~9% faster than 2-deep; 8-deep is not better.
-    for w in range(NBUF - 1):
-        @pl.when(w < nch)
-        def _(w=w):
-            dma(w, w).start()
-
-    def body(j, _):
-        i = NBUF * j
-        for t in range(NBUF):
-            @pl.when(i + t + NBUF - 1 < nch)
-            def _(t=t):
-                dma(i + t + NBUF - 1, (t + NBUF - 1) % NBUF).start()
-
-            @pl.when(i + t < nch)
-            def _(t=t):
-                dma(i + t, t).wait()
-                compute(i + t, t)
-        return 0
-
-    lax.fori_loop(0, (nch + NBUF - 1) // NBUF, body, 0)
+    Returns ``(b, spans)``: ``b`` is the (NW*C_pad, P) bf16 matrix with row
+    ``C_pad*w + j`` = (cell//128 % NW == w) * parts[j], and ``spans`` the
+    number of parts per column (in order), ``C = sum(spans)``. C is padded
+    to a multiple of 8 with zero parts (C_pad) so the final
+    (NW, C_pad, P) -> (NW*C_pad, P) reshape is a pure BITCAST under the
+    (8, 128) tiling -- an unpadded middle dim makes XLA materialize a
+    ~40 us relayout copy of the whole B matrix.
+    """
+    parts = []
+    spans = []
+    for v, ex in zip(cols, exact):
+        if ex:
+            parts.append(v)
+            spans.append(1)
+        else:
+            # reduce_precision, NOT a bf16->f32 roundtrip: XLA's fusion pass
+            # elides convert(convert(x, bf16), f32) back to x (observed),
+            # silently zeroing the correction parts. reduce_precision is the
+            # same rounding and cannot be elided.
+            b1 = lax.reduce_precision(v, 8, 7)
+            r1 = v - b1
+            b2 = lax.reduce_precision(r1, 8, 7)
+            b3 = r1 - b2
+            parts += [b1, b2, b3]
+            spans.append(3)
+    c = len(parts)
+    w = (cell // 128) % NW
+    wm = (
+        jnp.arange(NW, dtype=cell.dtype)[:, None] == w[None, :]
+    ).astype(jnp.float32)  # (NW, P)
+    if c == 1:
+        # single column: (NW, P) directly, no middle dim to pad
+        b = wm * parts[0][None, :]
+        return b.astype(jnp.bfloat16), tuple(spans)
+    c_pad = -(-c // 8) * 8
+    parts += [jnp.zeros_like(parts[0])] * (c_pad - c)
+    pv = jnp.stack(parts, axis=0)  # (C_pad, P)
+    b = (wm[:, None, :] * pv[None, :, :]).reshape(NW * c_pad, cell.shape[0])
+    return b.astype(jnp.bfloat16), tuple(spans)
 
 
-def raster_sums(cell_sorted, b_all, n2: int, interpret: bool = False):
+def _make_kernel(rows: int):
+    def _kernel(row_lo_ref, row_hi_ref, cell_ref, b_hbm, sums_ref, b_buf, sems):
+        g = pl.program_id(0)
+        lo = row_lo_ref[g]
+        nch = row_hi_ref[g] - lo
+
+        sums_ref[:] = jnp.zeros_like(sums_ref)
+
+        r_iota = lax.broadcasted_iota(jnp.int32, (128, ROW), 0)
+
+        def dma(i, slot):
+            return pltpu.make_async_copy(
+                b_hbm.at[:, pl.ds((lo + i) * CHUNK, CHUNK)],
+                b_buf.at[slot],
+                sems.at[slot],
+            )
+
+        def compute(i, slot):
+            row = (lo + i) * (CHUNK // ROW)
+            cells = cell_ref[pl.ds(row, 2), :]  # (2, ROW) i32
+            in_blk = (cells // CB) == g
+            # two half-chunk masks in natural layout, lane-concat for the matmul
+            lo_eq = (cells % 128)
+            m0 = (lo_eq[0:1] == r_iota) & in_blk[0:1]  # (128, ROW)
+            m1 = (lo_eq[1:2] == r_iota) & in_blk[1:2]
+            a = jnp.concatenate([m0, m1], axis=1).astype(jnp.bfloat16)  # (128, CHUNK)
+            # NT matmul (contract lanes x lanes): B arrives transposed
+            # (rows, CHUNK) because (rows, P) is the orientation the B build
+            # produces in natural row-major layout (P on lanes). A is exactly
+            # 0/1 and every B part is bf16-exact, so the bf16 products are
+            # exact and part-sums reconstruct the f32 matmul exactly.
+            s = lax.dot_general(
+                a, b_buf[slot],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (128, rows)
+            sums_ref[:] += s
+
+        # 4-deep DMA pipeline, statically unrolled (slots MUST be static:
+        # dynamic .at[slot] scratch indexing miscompiles -- see module
+        # docstring). Measured ~9% faster than 2-deep; 8-deep is not better.
+        for w in range(NBUF - 1):
+            @pl.when(w < nch)
+            def _(w=w):
+                dma(w, w).start()
+
+        def body(j, _):
+            i = NBUF * j
+            for t in range(NBUF):
+                @pl.when(i + t + NBUF - 1 < nch)
+                def _(t=t):
+                    dma(i + t + NBUF - 1, (t + NBUF - 1) % NBUF).start()
+
+                @pl.when(i + t < nch)
+                def _(t=t):
+                    dma(i + t, t).wait()
+                    compute(i + t, t)
+            return 0
+
+        lax.fori_loop(0, (nch + NBUF - 1) // NBUF, body, 0)
+
+    return _kernel
+
+
+def raster_sums(cell_sorted, cols, exact, n2: int, interpret: bool = False):
     """Per-cell column sums from cell-sorted points.
 
     Args:
       cell_sorted: (P,) int32 flat cell ids, **nondecreasing**, in [0, n2]
         (n2 = overflow/padding bin).
-      b_all: (3*BL, P) bf16 split B-matrix from :func:`build_bt`.
+      cols: list of (P,) f32 value columns.
+      exact: list of bool, one per column -- True marks columns whose values
+        are exactly bf16-representable (single-part shipping; see
+        :func:`build_parts`).
       n2: number of real cells (grid N*N).
 
     Returns:
-      sums: (n2, NK) f32 -- per-cell column sums (column k = vals[k]),
-      exactly ``sum_p onehot[c, p] * vals[k][p]`` up to f32 summation-order
-      rounding (products are exact; see build_bt).
+      sums: (n2, len(cols)) f32 -- per-cell column sums, exactly
+      ``sum_p onehot[c, p] * cols[k][p]`` up to f32 summation-order rounding
+      (products are exact). Columns with at most one accepted point per cell
+      (run-end min/max columns) are bitwise exact.
     """
     p = cell_sorted.shape[0]
     if p % CHUNK:
         raise ValueError(f"point count {p} must be a multiple of {CHUNK}")
+    if len(cols) != len(exact):
+        raise ValueError("cols and exact must have equal length")
     nch_total = p // CHUNK
     n_pad = padded_cells(n2)
     g_blocks = _num_blocks(n2 + 1)
+
+    b_all, spans = build_parts(cell_sorted, cols, exact)
+    rows = b_all.shape[0]
+    c_pad = rows // NW  # includes the build's zero-padding parts
 
     # chunk-row range per block: points with cell in [g*CB, (g+1)*CB).
     # searchsorted is NOT used: XLA lowers it to a ~56 us serial while-loop;
@@ -181,52 +244,28 @@ def raster_sums(cell_sorted, b_all, n2: int, interpret: bool = False):
         pl.BlockSpec(memory_space=pl.ANY),  # b_all off-core; DMA'd
     ]
     sums = pl.pallas_call(
-        _kernel,
+        _make_kernel(rows),
         grid=(g_blocks,),
-        out_shape=jax.ShapeDtypeStruct((g_blocks * 128, BL), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((g_blocks * 128, rows), jnp.float32),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((128, BL), lambda g: (g, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((128, rows), lambda g: (g, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((NBUF, 3 * BL, CHUNK), jnp.bfloat16),
+            pltpu.VMEM((NBUF, rows, CHUNK), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
         interpret=interpret,
     )(row_lo, row_hi, cell2d, b_all)
 
-    # unpack [g*128 + lo, NK*w + k] -> cell-major (n_pad, NK)
-    sums = sums.reshape(g_blocks, 128, NW, NK).transpose(0, 2, 1, 3)
-    sums = sums.reshape(n_pad, NK)[:n2]
-    return sums
-
-
-def build_bt(cell, *vals):
-    """(3*BL, P) bf16 split-B: exact 3-way bf16 decomposition of
-    ``B[NK*w + k, p] = (cell[p]//128 % NW == w) * vals[k][p]``.
-
-    bf16 keeps 8 mantissa bits per part; three parts with round-to-nearest
-    splitting reconstruct any f32 exactly (b2 = fl(v - b1) and
-    b3 = fl(v - b1 - b2) are exact f32 subtractions), so the kernel's three
-    bf16 MXU passes against the exact 0/1 A mask are bit-equivalent to an
-    exact-f32 matmul at half the passes of Precision.HIGHEST.
-    """
-    if len(vals) > NK:
-        raise ValueError(f"at most {NK} value columns, got {len(vals)}")
-    w = (cell // 128) % NW
-    wm = (
-        jnp.arange(NW, dtype=cell.dtype)[:, None] == w[None, :]
-    ).astype(jnp.float32)  # (NW, P)
-    v = jnp.stack(
-        list(vals) + [jnp.zeros_like(vals[0])] * (NK - len(vals)), axis=0
-    )  # (NK, P)
-    b = (wm[:, None, :] * v[None, :, :]).reshape(BL, cell.shape[0])
-    # reduce_precision, NOT a bf16->f32 roundtrip: XLA's fusion pass elides
-    # convert(convert(x, bf16), f32) back to x (observed), silently zeroing
-    # the correction parts. reduce_precision is semantically the same
-    # rounding and cannot be elided.
-    b1f = lax.reduce_precision(b, 8, 7)
-    r1 = b - b1f
-    b2f = lax.reduce_precision(r1, 8, 7)
-    b3 = (r1 - b2f).astype(jnp.bfloat16)
-    return jnp.concatenate(
-        [b1f.astype(jnp.bfloat16), b2f.astype(jnp.bfloat16), b3], axis=0
-    )  # (3*BL, P)
+    # unpack [g*128 + lo, C_pad*w + j] -> cell-major (n_pad, C_pad), then
+    # combine each column's parts (exact reconstruction: disjoint bf16 splits)
+    sums = sums.reshape(g_blocks, 128, NW, c_pad).transpose(0, 2, 1, 3)
+    sums = sums.reshape(n_pad, c_pad)
+    out_cols = []
+    o = 0
+    for span in spans:
+        col = sums[:, o]
+        for j in range(1, span):
+            col = col + sums[:, o + j]
+        out_cols.append(col)
+        o += span
+    return jnp.stack(out_cols, axis=1)[:n2]

@@ -232,16 +232,14 @@ def make_step_fn(config: GroundGridConfig, with_aux: bool = False, _salt: int = 
             # test IS the considered&nonground indicator (labels==99). Unlike
             # the lookup kernel this REQUIRES sorted cells, so it rides the
             # same fallback cond as the rasterizer.
-            from groundgrid_tpu.ops.pallas_raster import build_bt, raster_sums
+            from groundgrid_tpu.ops.pallas_raster import raster_sums
 
             n = config.cell_count
             labels = result.labels
 
             def count_kernel():
                 ng = (labels == classifylib.LABEL_NONGROUND).astype(jnp.float32)
-                sums_ng = raster_sums(
-                    binning.cell, build_bt(binning.cell, ng), n * n
-                )
+                sums_ng = raster_sums(binning.cell, [ng], [True], n * n)
                 return sums_ng[:, 0].reshape(n, n)
 
             if is_sorted is not None:

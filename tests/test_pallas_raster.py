@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from groundgrid_tpu.config import GroundGridConfig
 from groundgrid_tpu.core import rasterize as rasterlib
 from groundgrid_tpu.core import transforms as tf
-from groundgrid_tpu.ops.pallas_raster import build_bt, raster_sums
+from groundgrid_tpu.ops.pallas_raster import NW, build_parts, raster_sums
 
 FLT_MAX = np.float32(np.finfo(np.float32).max)
 
@@ -26,30 +26,43 @@ def _numpy_sums(cell, vals, n2):
     return sums[:n2]
 
 
-def _check(cell, vals, n2):
-    b_all = build_bt(jnp.asarray(cell), *[jnp.asarray(v) for v in vals])
-    sums = raster_sums(jnp.asarray(cell), b_all, n2, interpret=True)
-    ref_sums = _numpy_sums(cell, vals, n2)
-    np.testing.assert_allclose(
-        np.asarray(sums)[:, : len(vals)], ref_sums, rtol=1e-5, atol=1e-5
+def _check(cell, vals, n2, exact=None):
+    if exact is None:
+        exact = [False] * len(vals)
+    sums = raster_sums(
+        jnp.asarray(cell), [jnp.asarray(v) for v in vals], exact, n2,
+        interpret=True,
     )
+    ref_sums = _numpy_sums(cell, vals, n2)
+    np.testing.assert_allclose(np.asarray(sums), ref_sums, rtol=1e-5, atol=1e-5)
 
 
-def test_build_bt_split_exact():
-    """The 3-way bf16 split reconstructs the f32 B matrix bit-exactly."""
+def test_build_parts_split_exact():
+    """The column-aware bf16 split reconstructs the f32 B matrix bit-exactly
+    and packs exact (0/1) columns into a single part."""
     p = 2048
     rng = np.random.default_rng(9)
     cell = np.sort(rng.integers(0, 96 * 96 + 1, p)).astype(np.int32)
     # mixed magnitudes incl. exact powers of two and the min-column sentinel
     v = (rng.standard_normal(p) * np.exp(rng.uniform(-8, 8, p))).astype(np.float32)
     v[:4] = [0.0, np.float32(2.0**126), np.finfo(np.float32).tiny, -300.25]
-    b = np.asarray(build_bt(jnp.asarray(cell), jnp.asarray(v)), np.float32)
-    rec = b[:64] + b[64:128] + b[128:]
-    w = (cell // 128) % 8
-    ref = np.zeros((64, p), np.float32)
-    for ww in range(8):
-        ref[8 * ww] = (w == ww) * v
-    np.testing.assert_array_equal(rec, ref)
+    ind = rng.integers(0, 2, p).astype(np.float32)
+
+    b, spans = build_parts(
+        jnp.asarray(cell), [jnp.asarray(ind), jnp.asarray(v)], [True, False]
+    )
+    assert spans == (1, 3)
+    c_pad = 8  # 4 real parts padded to the bitcast-reshape multiple
+    assert b.shape == (NW * c_pad, p)
+    b = np.asarray(b, np.float32).reshape(NW, c_pad, p)
+    np.testing.assert_array_equal(b[:, 4:], 0.0)
+    w = (cell // 128) % NW
+    for ww in range(NW):
+        sel = (w == ww).astype(np.float32)
+        np.testing.assert_array_equal(b[ww, 0], sel * ind)
+        np.testing.assert_array_equal(
+            b[ww, 1] + b[ww, 2] + b[ww, 3], sel * v
+        )
 
 
 def test_kernel_random_sorted():
@@ -59,6 +72,20 @@ def test_kernel_random_sorted():
     cell = np.sort(rng.integers(0, n2 + 1, p)).astype(np.int32)
     vals = [rng.standard_normal(p).astype(np.float32) for _ in range(5)]
     _check(cell, vals, n2)
+
+
+def test_kernel_exact_columns():
+    """0/1 indicator columns (single-part) sum exactly next to split columns."""
+    n2 = 96 * 96
+    p = 4096
+    rng = np.random.default_rng(3)
+    cell = np.sort(rng.integers(0, n2 + 1, p)).astype(np.int32)
+    vals = [
+        rng.integers(0, 2, p).astype(np.float32),
+        rng.standard_normal(p).astype(np.float32),
+        rng.integers(0, 2, p).astype(np.float32),
+    ]
+    _check(cell, vals, n2, exact=[True, False, True])
 
 
 def test_kernel_edge_distributions():
@@ -102,8 +129,8 @@ def test_seg_end_reduce():
         np.testing.assert_array_equal(got, ref)
 
 
-def _interp_rs(cell, b_all, n2):
-    return raster_sums(cell, b_all, n2, interpret=True)
+def _interp_rs(cell, cols, exact, n2):
+    return raster_sums(cell, cols, exact, n2, interpret=True)
 
 
 def test_rasterize_sorted_matches_scatter(small_config, small_scans):
