@@ -131,16 +131,49 @@ def detect_outliers(
         old_h = pair_table[flat_cell][:, 1]  # 2-wide row gather (see _pair_table)
     cand = binning.inmap & ~binning.ignored & (z < old_h - np.float32(0.2))
 
-    # compact candidates into a fixed-size buffer (top_k == sort by score).
-    # (A cumsum + vectorized-binary-search compaction was measured ~3x
-    # slower than this sort: XLA's searchsorted while-loop costs ~270 us.)
-    # The score is the depth below the previous terrain, so if a scan ever
-    # overflows ``max_outlier_candidates`` the buffer keeps the *deepest*
-    # candidates -- the ones a warm confidence map can actually fire on --
-    # and sheds the shallow ones first (graceful degradation; the reference
-    # marches every candidate, GroundSegmentation.cpp:242).
+    # compact candidates into a fixed-size buffer by sorting. (A cumsum +
+    # vectorized-binary-search compaction was measured ~3x slower: XLA's
+    # searchsorted while-loop costs ~270 us; a one-hot-matmul slot
+    # compaction via the raster kernel costs as much in B-matrix DMA as the
+    # sort it replaces.) The score is the depth below the previous terrain,
+    # so if a scan ever overflows ``max_outlier_candidates`` the buffer
+    # keeps the *deepest* candidates -- the ones a warm confidence map can
+    # actually fire on -- and sheds the shallow ones first (graceful
+    # degradation; the reference marches every candidate,
+    # GroundSegmentation.cpp:242).
     depth = jnp.where(cand, old_h - z, np.float32(-1.0))
-    vals_full, pidx_full = lax.top_k(depth, k_max)
+    p_total = x.shape[0]
+    if p_total <= (1 << 17):
+        # pack (quantized depth, point index) into ONE u32 key and sort a
+        # single array: ~2x cheaper than top_k's (f32 key, i32 iota) pair
+        # sort (107 -> ~60 us at 131k points). The low 17 bits carry the
+        # index; the top 15 bits the monotone depth encoding -- candidates
+        # (depth >= 0.2) and non-candidates (depth == -1.0) stay separated
+        # under the 17-bit truncation, so selection is exact; only the
+        # overflow keep-deepest ORDER coarsens to 15-bit depth ties (broken
+        # by index), which perturbs nothing unless a scan exceeds the 2x
+        # candidate headroom the full-geometry test asserts.
+        idx_mask = np.uint32((1 << 17) - 1)
+        key = (_mono_u32(depth) & ~idx_mask) | jnp.arange(p_total, dtype=jnp.uint32)
+        nk_sorted = lax.sort(~key)  # ascending complement == descending key
+        act_thr = np.uint32(
+            (int(~np.uint32(np.float32(-1.0).view(np.uint32))) & ~int(idx_mask))
+            | int(idx_mask)
+        )
+
+        def topk_slice(k):
+            key_k = ~lax.slice_in_dim(nk_sorted, 0, k)
+            active = key_k > act_thr
+            pidx = (key_k & idx_mask).astype(jnp.int32)
+            return active, pidx
+    else:
+        vals_full, pidx_full = lax.top_k(depth, k_max)
+
+        def topk_slice(k):
+            return (
+                lax.slice_in_dim(vals_full, 0, k) > 0,
+                lax.slice_in_dim(pidx_full, 0, k),
+            )
 
     # near/far step split: steps < TIER_SPLIT march for EVERY candidate,
     # steps >= TIER_SPLIT only for the (few) candidates whose ray budget
@@ -160,9 +193,7 @@ def detect_outliers(
         has ``within == False`` at every far step -- at roughly half the
         serial-gather cost.
         """
-        vals = lax.slice_in_dim(vals_full, 0, k)
-        pidx = lax.slice_in_dim(pidx_full, 0, k)
-        active = vals > 0
+        active, pidx = topk_slice(k)
         px = x[pidx]
         py = y[pidx]
         pz = z[pidx]

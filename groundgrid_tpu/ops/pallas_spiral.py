@@ -94,14 +94,17 @@ def _affine_hillis_steele(a, b, descending):
     return a
 
 
-def _band_update(config: GroundGridConfig, bh, bc, fixed, lo, hi, descending, woff=0):
+def _band_update(config: GroundGridConfig, bh, bc, fixed, lo, hi, descending,
+                 woff=0, export=False):
     """Exact segment update on a lane-major (3, WLEN) stencil band.
 
     ``bh``/``bc`` rows are [fixed-1, fixed, fixed+1]; lane position ``j``
     holds global cell coordinate ``woff + j`` along the walk (``woff`` is the
     tier's 128-aligned lane-window offset -- see ``_tiers``). Returns the
     updated (1, WLEN) height and confidence rows. See core/interpolate.py
-    for the derivation.
+    for the derivation. ``export=True`` additionally returns the
+    intermediates :func:`_band_delta` needs to cheaply re-derive (a, b)
+    after a deferred corner injection.
     """
     c_idx = config.center_cell
     res2 = float(config.resolution**2)
@@ -148,7 +151,43 @@ def _band_update(config: GroundGridConfig, bh, bc, fixed, lo, hi, descending, wo
     b_coef = jnp.where(pred_in_seg, blend * c_pred / den, 0.0)
     num_static = num_known + jnp.where(pred_in_seg, 0.0, c_pred * pred(hh))
     a_coef = jnp.where(in_seg, blend * num_static / den + occ * hh, hh)
-    return a_coef, b_coef, c_new
+    if not export:
+        return a_coef, b_coef, c_new
+    internals = dict(
+        in_seg=in_seg, pred_in_seg=pred_in_seg, blend=blend,
+        blend_cpred=blend * c_pred, occ_hh=occ * hh, hh=hh,
+        num_static=num_static, den=den, sgn=sgn,
+    )
+    return a_coef, b_coef, c_new, internals
+
+
+def _band_delta(it, bh, bc, band_row, sel, src_h, src_c, shift):
+    """(a, b) of the band WITH one extra injection, from exported internals.
+
+    The injection replaces the band value at one (row, lane) position, which
+    perturbs the 3x3 stencil sums at three lanes only; rebuilding (a, b)
+    from the deltas costs ~14 row ops instead of a second full band update.
+    Matches the full recompute to ~1 ulp (the delta addition reassociates
+    the num/den sums).
+    """
+    sgn = it["sgn"]
+    pred = lambda x: _roll(x, sgn, 1)
+    succ = lambda x: _roll(x, -sgn, 1)
+    vh = _roll(src_h, shift, 1)
+    vc = _roll(src_c, shift, 1)
+    w_row = bc[band_row : band_row + 1] * bh[band_row : band_row + 1]
+    dw = jnp.where(sel, vh * vc - w_row, 0.0)
+    dc = jnp.where(sel, vc - bc[band_row : band_row + 1], 0.0)
+    dnum = dw + pred(dw) + succ(dw)
+    dden = dc + pred(dc) + succ(dc)
+    inv = 1.0 / (it["den"] + dden)
+    b1 = jnp.where(it["pred_in_seg"], it["blend_cpred"] * inv, 0.0)
+    a1 = jnp.where(
+        it["in_seg"],
+        it["blend"] * (it["num_static"] + dnum) * inv + it["occ_hh"],
+        it["hh"],
+    )
+    return a1, b1
 
 
 def _load_band(h_ref, c_ref, fixed, woff, wlen):
@@ -220,22 +259,20 @@ def _segment(config, h_ref, c_ref, fixed, lo, hi,
     bh = jnp.concatenate(rows_h, axis=0)
     bc = jnp.concatenate(rows_c, axis=0)
 
-    a, b, c_new = _band_update(config, bh, bc, fixed, lo, hi, descending, woff)
     sgn = -1 if descending else 1
-    early_h = a + b * _roll(a, sgn, 1)
-    h_new = _affine_hillis_steele(a, b, descending)
-
-    if deferred is not None:
+    if deferred is None:
+        a, b, c_new = _band_update(config, bh, bc, fixed, lo, hi, descending, woff)
+        early_h = a + b * _roll(a, sgn, 1)
+        h_new = _affine_hillis_steele(a, b, descending)
+    else:
+        a, b, c_new, internals = _band_update(
+            config, bh, bc, fixed, lo, hi, descending, woff, export=True
+        )
+        early_h = a + b * _roll(a, sgn, 1)
+        h_new = _affine_hillis_steele(a, b, descending)
         band_row, dest, (src_h, src_c), shift = deferred
         sel = lane == dest
-        rows_h[band_row] = jnp.where(sel, _roll(src_h, shift, 1), rows_h[band_row])
-        rows_c[band_row] = jnp.where(sel, _roll(src_c, shift, 1), rows_c[band_row])
-        a1, b1, _ = _band_update(
-            config,
-            jnp.concatenate(rows_h, axis=0),
-            jnp.concatenate(rows_c, axis=0),
-            fixed, lo, hi, descending, woff,
-        )
+        a1, b1 = _band_delta(internals, bh, bc, band_row, sel, src_h, src_c, shift)
         # the injection perturbs a/b only at the walk's last two lanes;
         # h_new upstream of them is valid, so two affine steps repair them
         last = lo if descending else hi - 1
