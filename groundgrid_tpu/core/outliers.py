@@ -40,6 +40,10 @@ from groundgrid_tpu.core.rasterize import Binning
 
 U32_TOP = np.uint32(0x80000000)
 
+# largest point count whose indices fit the u32 sort key's low 17 bits;
+# beyond it candidate selection falls back to the (f32, i32) top_k pair sort
+U32_SORT_MAX_POINTS = 1 << 17
+
 
 def _mono_u32(f):
     """Order-preserving f32 -> uint32 (total order on non-NaN floats)."""
@@ -143,7 +147,7 @@ def detect_outliers(
     # GroundSegmentation.cpp:242).
     depth = jnp.where(cand, old_h - z, np.float32(-1.0))
     p_total = x.shape[0]
-    if p_total <= (1 << 17):
+    if p_total <= U32_SORT_MAX_POINTS:
         # pack (quantized depth, point index) into ONE u32 key and sort a
         # single array: ~2x cheaper than top_k's (f32 key, i32 iota) pair
         # sort (107 -> ~60 us at 131k points). The low 17 bits carry the

@@ -120,3 +120,28 @@ def test_outliers_with_lookup_matches_gather(small_config, small_scans):
     )
     assert np.asarray(want).sum() > 0, "test should exercise real candidates"
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_outliers_u32_selection_matches_topk(small_config, small_scans,
+                                             monkeypatch):
+    """The packed-u32-key candidate selection == the top_k pair sort.
+
+    Exact equality holds whenever the scan fits the march buffer (no
+    overflow): both paths then select the identical candidate SET, and the
+    march is order-invariant.
+    """
+    cfg = small_config
+    binning, x, y, z, origin = _sorted_binning(cfg, small_scans[0])
+    rng = np.random.default_rng(3)
+    ground = jnp.asarray(
+        (rng.standard_normal((cfg.cell_count,) * 2) + 0.5).astype(np.float32)
+    )
+    groundpatch = jnp.asarray(
+        rng.uniform(0, 1, (cfg.cell_count,) * 2).astype(np.float32)
+    )
+    args = (cfg, jnp.zeros(2), ground, groundpatch, binning, x, y, z, origin)
+    with_u32 = outlierlib.detect_outliers(*args)
+    monkeypatch.setattr(outlierlib, "U32_SORT_MAX_POINTS", 0)  # force top_k
+    with_topk = outlierlib.detect_outliers(*args)
+    assert np.asarray(with_u32).sum() > 0
+    np.testing.assert_array_equal(np.asarray(with_u32), np.asarray(with_topk))
