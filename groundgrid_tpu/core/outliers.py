@@ -87,10 +87,22 @@ def _pair_table(config: GroundGridConfig, ground, groundpatch, key_only: bool):
     key = occlusion_key_table(config, ground, groundpatch)
     key_f = lax.bitcast_convert_type(key, jnp.float32)
     if key_only:
-        # broadcast, not stack: the interleaved broadcast write (~80 us)
-        # materializes directly in the gather's row-major layout, replacing
-        # BOTH relayout copies of the stack form (table ~48 us + gathered
-        # rows ~33 us) -- measured net win
+        # Duplicate into row-major pairs WITHOUT a relayout: the stack form
+        # costs two relayout copies (table ~48 us + gathered rows ~33 us),
+        # an XLA interleaved broadcast ~80 us; the Pallas lane-shuffle
+        # kernel ~15 us. CPU/interpret backends keep the broadcast (the
+        # relayout pathology is TPU-specific).
+        import jax
+
+        if jax.default_backend() == "tpu":
+            from groundgrid_tpu.ops.pallas_lookup import interleave2
+
+            n2 = key_f.shape[0]
+            blk = 64 * 64  # interleave2 granularity
+            pad = (-n2) % blk
+            table = interleave2(jnp.pad(key_f, (0, pad)))
+            # gathered indices never reach the pad rows (clipped to n2-1)
+            return table
         return jnp.broadcast_to(key_f[:, None], (key_f.shape[0], 2))
     return jnp.stack([key_f, ground.reshape(-1)], axis=-1)
 
@@ -120,7 +132,6 @@ def detect_outliers(
     res = np.float32(config.resolution)
     half = np.float32(config.half_length)
     k_max = config.max_outlier_candidates
-    n_steps = config.ray_steps - 3
     tol = np.float32(config.outlier_tolerance)
 
     # NOTE: the march below keeps the 2-wide pair-table row gather even when
@@ -159,7 +170,10 @@ def detect_outliers(
         # candidate headroom the full-geometry test asserts.
         idx_mask = np.uint32((1 << 17) - 1)
         key = (_mono_u32(depth) & ~idx_mask) | jnp.arange(p_total, dtype=jnp.uint32)
-        nk_sorted = lax.sort(~key)  # ascending complement == descending key
+        # ascending complement == descending key; is_stable=False: keys are
+        # unique (index in the low bits), and a stable sort silently adds a
+        # second s32 iota operand (~2x cost)
+        nk_sorted = lax.sort(~key, is_stable=False)
         act_thr = np.uint32(
             (int(~np.uint32(np.float32(-1.0).view(np.uint32))) & ~int(idx_mask))
             | int(idx_mask)

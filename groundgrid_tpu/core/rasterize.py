@@ -246,25 +246,24 @@ def rasterize_sorted(
         cols.append(seg_end_reduce(cell, maxv, jnp.maximum))
         exact.append(False)
 
-    sums = raster_sums(cell, cols, exact, n2)
-    sums_t = sums.T
-    raw = sums_t[0]
+    out = raster_sums(cell, cols, exact, n2)
+    raw = out[0]
     # cells with no points extract 0; all-ignored cells extract the sentinel
-    mins = jnp.where((raw > 0) & (sums_t[5] < np.float32(1e30)), sums_t[5], FLT_MAX)
+    mins = jnp.where((raw > 0) & (out[5] < np.float32(1e30)), out[5], FLT_MAX)
     if with_max:
         # the reset value FLT_TINY participates in every cell's max (the
         # reference's +FLT_MIN init quirk beats all-negative-z cells)
-        maxs = jnp.maximum(jnp.where(raw > 0, sums_t[6], FLT_TINY), FLT_TINY)
+        maxs = jnp.maximum(jnp.where(raw > 0, out[6], FLT_TINY), FLT_TINY)
     else:
         maxs = jnp.full((n2,), FLT_TINY, jnp.float32)
 
     return _finish_layers(
         config,
         points_raw=raw,
-        count=sums_t[1],
-        sum_z=sums_t[2],
-        sum_pdc=sums_t[3],
-        sum_pdc2=sums_t[4],
+        count=out[1],
+        sum_z=out[2],
+        sum_pdc=out[3],
+        sum_pdc2=out[4],
         min_gh=mins,
         max_gh=maxs,
         shift=shift,

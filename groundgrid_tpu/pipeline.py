@@ -239,8 +239,8 @@ def make_step_fn(config: GroundGridConfig, with_aux: bool = False, _salt: int = 
 
             def count_kernel():
                 ng = (labels == classifylib.LABEL_NONGROUND).astype(jnp.float32)
-                sums_ng = raster_sums(binning.cell, [ng], [True], n * n)
-                return sums_ng[:, 0].reshape(n, n)
+                (counts_flat,) = raster_sums(binning.cell, [ng], [True], n * n)
+                return counts_flat.reshape(n, n)
 
             if is_sorted is not None:
                 counts = jax.lax.cond(

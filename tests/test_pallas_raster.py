@@ -29,12 +29,13 @@ def _numpy_sums(cell, vals, n2):
 def _check(cell, vals, n2, exact=None):
     if exact is None:
         exact = [False] * len(vals)
-    sums = raster_sums(
+    cols = raster_sums(
         jnp.asarray(cell), [jnp.asarray(v) for v in vals], exact, n2,
         interpret=True,
     )
+    sums = np.stack([np.asarray(c) for c in cols], axis=1)
     ref_sums = _numpy_sums(cell, vals, n2)
-    np.testing.assert_allclose(np.asarray(sums), ref_sums, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(sums, ref_sums, rtol=1e-5, atol=1e-5)
 
 
 def test_build_parts_split_exact():
