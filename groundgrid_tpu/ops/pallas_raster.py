@@ -62,7 +62,9 @@ FLT_TINY = np.float32(np.finfo(np.float32).tiny)  # C++ FLT_MIN (max-layer reset
 ROW = 128  # input row width: the (P,) -> (P/ROW, ROW) reshape is a pure
 # bitcast only at 128 lanes (1-D T(1024) tiling == 2-D T(8,128) row-major);
 # wider minor dims drag serial relayout copies into the pipeline
-CHUNK = 256  # points per matmul chunk (= 2 input rows, lane-concatenated)
+CHUNK = 512  # points per matmul chunk (= 4 input rows, lane-concatenated;
+# 512 over 256 halves the per-chunk fixed costs -- accumulate add, dot
+# issue, loop management -- at the same MXU pass count)
 CB = 1024  # cells per kernel-grid block
 NW = 8  # hi-groups per block (CB / 128)
 NBUF = 4  # DMA pipeline depth (static slots)
@@ -145,14 +147,19 @@ def _make_kernel(rows: int):
             )
 
         def compute(i, slot):
-            row = (lo + i) * (CHUNK // ROW)
-            cells = cell_ref[pl.ds(row, 2), :]  # (2, ROW) i32
+            nrow = CHUNK // ROW
+            row = (lo + i) * nrow
+            cells = cell_ref[pl.ds(row, nrow), :]  # (CHUNK/ROW, ROW) i32
             in_blk = (cells // CB) == g
-            # two half-chunk masks in natural layout, lane-concat for the matmul
+            # per-input-row masks in natural layout, lane-concat for the matmul
             lo_eq = (cells % 128)
-            m0 = (lo_eq[0:1] == r_iota) & in_blk[0:1]  # (128, ROW)
-            m1 = (lo_eq[1:2] == r_iota) & in_blk[1:2]
-            a = jnp.concatenate([m0, m1], axis=1).astype(jnp.bfloat16)  # (128, CHUNK)
+            a = jnp.concatenate(
+                [
+                    (lo_eq[r : r + 1] == r_iota) & in_blk[r : r + 1]
+                    for r in range(nrow)
+                ],
+                axis=1,
+            ).astype(jnp.bfloat16)  # (128, CHUNK)
             # NT matmul (contract lanes x lanes): B arrives transposed
             # (rows, CHUNK) because (rows, P) is the orientation the B build
             # produces in natural row-major layout (P on lanes). A is exactly

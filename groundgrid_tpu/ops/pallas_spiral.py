@@ -60,7 +60,7 @@ def _roll(x, shift, axis):
     return pltpu.roll(x, shift % size, axis=axis)
 
 
-def _affine_hillis_steele(a, b, descending):
+def _affine_hillis_steele(a, b, descending, span=None):
     """Prefix-compose affine maps h[y] = a[y] + b[y]*h[y-+1] along lanes.
 
     Radix-4: each level composes the three stride-d/2d/3d predecessors
@@ -76,11 +76,18 @@ def _affine_hillis_steele(a, b, descending):
     wrapped-around range's composed b-product crosses a zero and the bogus
     contribution vanishes exactly. Dropping the per-(level, stride) iota
     compare + two selects cut the kernel's critical path ~20%.
+
+    ``span``: the longest walk length the scan must cover (defaults to the
+    full lane width). The scan stops once the composed range reaches it --
+    contributions beyond the segment start are killed by b == 0 anyway --
+    so ring ranges short relative to their tier window save whole levels.
     """
     n = a.shape[1]
+    if span is None:
+        span = n
     sgn = -1 if descending else 1
     d = 1
-    while d < n:
+    while d < min(span, n):
         na, nb = a, b
         for s in (d, 2 * d, 3 * d):
             if s >= n:
@@ -199,7 +206,8 @@ def _load_band(h_ref, c_ref, fixed, woff, wlen):
 
 
 def _segment(config, h_ref, c_ref, fixed, lo, hi,
-             descending, injections, woff, wlen, blk=None, deferred=None):
+             descending, injections, woff, wlen, blk=None, deferred=None,
+             span=None):
     """Row-band segment update with corner injections.
 
     ``injections``: list of ``(band_row, dest_lane, (src_h, src_c), shift)``
@@ -263,13 +271,13 @@ def _segment(config, h_ref, c_ref, fixed, lo, hi,
     if deferred is None:
         a, b, c_new = _band_update(config, bh, bc, fixed, lo, hi, descending, woff)
         early_h = a + b * _roll(a, sgn, 1)
-        h_new = _affine_hillis_steele(a, b, descending)
+        h_new = _affine_hillis_steele(a, b, descending, span)
     else:
         a, b, c_new, internals = _band_update(
             config, bh, bc, fixed, lo, hi, descending, woff, export=True
         )
         early_h = a + b * _roll(a, sgn, 1)
-        h_new = _affine_hillis_steele(a, b, descending)
+        h_new = _affine_hillis_steele(a, b, descending, span)
         band_row, dest, (src_h, src_c), shift = deferred
         sel = lane == dest
         a1, b1 = _band_delta(internals, bh, bc, band_row, sel, src_h, src_c, shift)
@@ -355,7 +363,7 @@ def _spiral_kernel(config: GroundGridConfig, pad,
     sc_h[:] = jnp.full(sc_h.shape, z, jnp.float32)
     sc_c[:] = jnp.ones(sc_c.shape, jnp.float32)
 
-    def make_ring(woff, wlen, hoist):
+    def make_ring(woff, wlen, hoist, span):
         def ring(k, carry):
             # ring k-1's coupling rows: early = first-two-walk-cells row,
             # late = fully scanned row (see _segment docstring)
@@ -382,9 +390,11 @@ def _spiral_kernel(config: GroundGridConfig, pad,
             def seg(ref_h, ref_c, fixed, lo2, hi2, desc, early_inj, late_inj, blk2):
                 if hoist:
                     return _segment(config, ref_h, ref_c, fixed, lo2, hi2, desc,
-                                    early_inj, woff, wlen, blk2, deferred=late_inj)
+                                    early_inj, woff, wlen, blk2,
+                                    deferred=late_inj, span=span)
                 return _segment(config, ref_h, ref_c, fixed, lo2, hi2, desc,
-                                early_inj + [late_inj], woff, wlen, blk2)
+                                early_inj + [late_inj], woff, wlen, blk2,
+                                span=span)
 
             # N: top row i, ascending (reference walk order, cpp:421-439).
             # foreign reads: (i+1, i+1) <- W(k-1)'s FIRST walk cell (early),
@@ -438,9 +448,20 @@ def _spiral_kernel(config: GroundGridConfig, pad,
             c_rows = [sc_c[s : s + 1, pl.ds(woff, wlen)] for s in range(3)]
             carry = (h_rows[0], c_rows[0], h_rows[1], c_rows[1],
                      h_rows[2], h_rows[3], c_rows[2])
-        cuts = sorted({k_start, min(max(k_start, HOIST_MIN), k_stop), k_stop})
+        # ring subranges: hoisting needs k >= HOIST_MIN; the extra cut where
+        # the max walk length crosses the radix-4 scan-span boundary
+        # (2k+3 <= 256 iff k <= 126) gives shorter rings one fewer level
+        cuts = sorted({
+            k_start,
+            min(max(k_start, HOIST_MIN), k_stop),
+            min(max(k_start, 127), k_stop),
+            k_stop,
+        })
         for a, b in zip(cuts, cuts[1:]):
-            carry = lax.fori_loop(a, b, make_ring(woff, wlen, a >= HOIST_MIN), carry)
+            span = 2 * (b - 1) + 3  # longest walk in rings [a, b)
+            carry = lax.fori_loop(
+                a, b, make_ring(woff, wlen, a >= HOIST_MIN, span), carry
+            )
 
 
 @functools.lru_cache(maxsize=8)

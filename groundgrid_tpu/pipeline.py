@@ -108,10 +108,13 @@ def _validate(config: GroundGridConfig) -> None:
             f"config.ray_steps={config.ray_steps} too small for a "
             f"{config.dimension}m grid; need >= {need}"
         )
-    if config.sorted_scans and config.max_points % 256:
+    from groundgrid_tpu.ops.pallas_raster import CHUNK
+
+    if config.sorted_scans and config.max_points % max(CHUNK, 1024):
+        # CHUNK for the raster kernel; 1024 for the lookup kernel's groups
         raise ValueError(
-            "sorted_scans requires max_points to be a multiple of 256 "
-            f"(pallas raster chunk size), got {config.max_points}"
+            "sorted_scans requires max_points to be a multiple of "
+            f"{max(CHUNK, 1024)} (pallas kernel chunking), got {config.max_points}"
         )
 
 
