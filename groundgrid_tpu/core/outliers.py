@@ -87,22 +87,12 @@ def _pair_table(config: GroundGridConfig, ground, groundpatch, key_only: bool):
     key = occlusion_key_table(config, ground, groundpatch)
     key_f = lax.bitcast_convert_type(key, jnp.float32)
     if key_only:
-        # Duplicate into row-major pairs WITHOUT a relayout: the stack form
-        # costs two relayout copies (table ~48 us + gathered rows ~33 us),
-        # an XLA interleaved broadcast ~80 us; the Pallas lane-shuffle
-        # kernel ~15 us. CPU/interpret backends keep the broadcast (the
-        # relayout pathology is TPU-specific).
-        import jax
-
-        if jax.default_backend() == "tpu":
-            from groundgrid_tpu.ops.pallas_lookup import interleave2
-
-            n2 = key_f.shape[0]
-            blk = 64 * 64  # interleave2 granularity
-            pad = (-n2) % blk
-            table = interleave2(jnp.pad(key_f, (0, pad)))
-            # gathered indices never reach the pad rows (clipped to n2-1)
-            return table
+        # broadcast, not stack: the gather engine wants a lane-PADDED
+        # (n2, 2){1,0:T(8,128)} operand (2 useful of 128 lanes per tile), and
+        # the broadcast fuses into that layout directly (~80 us). The stack
+        # form costs two relayout copies (~48 + ~33 us); a Pallas
+        # lane-interleave kernel was tried and is WORSE (~15 us kernel + a
+        # ~93 us XLA relayout of its packed output into the padded layout).
         return jnp.broadcast_to(key_f[:, None], (key_f.shape[0], 2))
     return jnp.stack([key_f, ground.reshape(-1)], axis=-1)
 

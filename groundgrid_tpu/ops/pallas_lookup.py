@@ -128,47 +128,3 @@ def sorted_lookup(cell_sorted, tables, n2: int, interpret: bool = False):
         interpret=interpret,
     )(b0, b1, cell2d, stacked)
     return tuple(o.reshape(p) for o in outs)
-
-
-_IBLK = 64  # output rows per interleave-kernel grid step
-
-
-def _interleave_kernel(x_ref, out_ref):
-    i = pl.program_id(0)
-    h = _IBLK // 2
-    src = x_ref[pl.ds(i * h, h), :]  # (_IBLK/2, 128)
-    j2 = lax.broadcasted_iota(jnp.int32, (h, 128), 1) // 2
-    # duplicate lanes: even out rows read src lanes [0, 64), odd the rest.
-    # Both takes stay full-width (128 lanes), so the row interleave below is
-    # an offset-aligned sublane concat (Mosaic rejects lane-offset slices).
-    d0 = jnp.take_along_axis(src, j2, axis=1)
-    d1 = jnp.take_along_axis(src, j2 + 64, axis=1)
-    out_ref[...] = jnp.stack([d0, d1], axis=1).reshape(_IBLK, 128)
-
-
-def interleave2(x, interpret: bool = False):
-    """(n,) f32 -> (n, 2) f32 with both columns equal to ``x``, row-major.
-
-    The duplicated-column table the outlier march gathers from
-    (``core/outliers._pair_table``): every element appears twice,
-    consecutively. XLA's interleaved ``broadcast_in_dim`` write costs
-    ~80 us for the 364^2 table; this lane-shuffle kernel does it in ~15 us
-    (static ``take_along_axis`` lane mapping, o -> o // 2). ``n`` must be a
-    multiple of 64 * _IBLK; callers pad (the overflow rows are never
-    gathered).
-    """
-    n = x.shape[0]
-    if n % (64 * _IBLK):
-        raise ValueError(f"interleave2 length {n} % {64 * _IBLK} != 0")
-    rows_out = 2 * n // 128
-    out = pl.pallas_call(
-        _interleave_kernel,
-        grid=(rows_out // _IBLK,),
-        out_shape=jax.ShapeDtypeStruct((rows_out, 128), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(
-            (_IBLK, 128), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
-        interpret=interpret,
-    )(x.reshape(n // 128, 128))
-    return out.reshape(n, 2)

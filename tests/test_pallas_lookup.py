@@ -122,18 +122,6 @@ def test_outliers_with_lookup_matches_gather(small_config, small_scans):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
-def test_interleave2():
-    """interleave2(x)[i] == [x[i], x[i]] (the march's duplicated table)."""
-    from groundgrid_tpu.ops.pallas_lookup import interleave2
-
-    n = 64 * 64 * 3
-    x = jnp.asarray(np.random.default_rng(0).standard_normal(n).astype(np.float32))
-    out = np.asarray(interleave2(x, interpret=True))
-    assert out.shape == (n, 2)
-    np.testing.assert_array_equal(out[:, 0], np.asarray(x))
-    np.testing.assert_array_equal(out[:, 1], np.asarray(x))
-
-
 def test_outliers_u32_selection_matches_topk(small_config, small_scans,
                                              monkeypatch):
     """The packed-u32-key candidate selection == the top_k pair sort.
