@@ -259,7 +259,10 @@ def cmd_playback(args) -> int:
         driver.restore(state)
         print(f"resumed at scan {resume_index}", file=sys.stderr, flush=True)
     prev_ts = None
-    for res in driver.run(_records(ds, cfg, args, start_index=resume_index)):
+    for res in driver.run(
+        _records(ds, cfg, args, start_index=resume_index),
+        pipeline_depth=args.pipeline_depth,
+    ):
         if args.rate > 0 and prev_ts is not None:
             # real-time pacing like the player's sim clock
             # (kitti_data_publisher.py:80-109): sleep off the remaining
@@ -351,6 +354,10 @@ def main(argv=None) -> int:
     p_play.add_argument("--html-max-frames", type=int, default=400)
     p_play.add_argument("--rate", type=float, default=0.0,
                         help="real-time pacing factor (0 = as fast as possible)")
+    p_play.add_argument("--pipeline-depth", type=int, default=0,
+                        help="scans dispatched ahead of the fetch (0 = "
+                             "lock-step; >=1 overlaps host prep, device "
+                             "compute and D2H for streaming throughput)")
     _add_common(p_play)
     p_play.set_defaults(func=cmd_playback)
 

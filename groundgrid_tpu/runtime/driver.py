@@ -55,6 +55,19 @@ class ScanResult:
 
 
 @dataclasses.dataclass
+class _InFlight:
+    """A dispatched-but-unfetched scan (pipelined streaming token)."""
+
+    index: int
+    timestamp: float
+    n_points: int
+    t0: float
+    step_out: object  # pipeline.StepOutput (device arrays)
+    aux: object  # pipeline.AuxLayers or None
+    order: Optional[np.ndarray]  # this scan's sort permutation
+
+
+@dataclasses.dataclass
 class TimingStats:
     """Running averages like the reference's logs (GroundGridNodelet.cpp:205)."""
 
@@ -207,6 +220,17 @@ class StreamingDriver:
         in which case the last good pose is reused with a warning (the grid
         updater's stale-transform fallback, GroundGrid.cpp:102-114).
         """
+        rec = self._check_pose(rec)
+        if rec is None:
+            return None
+        return self._finalize(self._dispatch_checked(rec))
+
+    def _check_pose(self, rec):
+        """Degraded-mode pose validation (see :meth:`process`).
+
+        Returns the record (pose-patched under ``stale_pose_reuse``), or
+        None to drop the scan.
+        """
         if not np.isfinite(rec.t_map_velo).all():
             if (
                 self.config.stale_pose_reuse
@@ -217,12 +241,14 @@ class StreamingDriver:
                     "scan %d: non-finite pose; reusing last good transform",
                     rec.index,
                 )
-                rec = dataclasses.replace(rec, t_map_velo=self._last_pose)
-            else:
-                log.warning("dropping scan %d: non-finite pose", rec.index)
-                return None
-        else:
-            self._last_pose = np.array(rec.t_map_velo, np.float64, copy=True)
+                return dataclasses.replace(rec, t_map_velo=self._last_pose)
+            log.warning("dropping scan %d: non-finite pose", rec.index)
+            return None
+        self._last_pose = np.array(rec.t_map_velo, np.float64, copy=True)
+        return rec
+
+    def _dispatch_checked(self, rec) -> "_InFlight":
+        """Dispatch one (pose-validated) scan to the device without syncing."""
         prepared = getattr(rec, "scan", None)
         self.ensure_step(rec, prepared)
         t0 = time.perf_counter()
@@ -241,48 +267,50 @@ class StreamingDriver:
         else:
             self.state, step_out = out
             aux = None
-        labels = np.asarray(jax.device_get(step_out.labels))
-        outlier = np.asarray(jax.device_get(step_out.outlier)).astype(bool)
-        if self.config.sorted_scans and self._last_order is not None:
-            unsorted_labels = np.empty_like(labels)
-            unsorted_labels[self._last_order] = labels
-            labels = unsorted_labels
-            unsorted_outlier = np.empty_like(outlier)
-            unsorted_outlier[self._last_order] = outlier
-            outlier = unsorted_outlier
-        ms = (time.perf_counter() - t0) * 1000.0
-        self.stats.update(ms)
-
         n = rec.n_points if prepared is not None else rec.points.shape[0]
-        if n > labels.shape[0]:
-            # scan exceeded config.max_points: overflow points were never
-            # processed; report them as dropped (label 0) so the output
-            # always aligns 1:1 with the input cloud.
-            pad = n - labels.shape[0]
-            labels = np.concatenate([labels, np.zeros(pad, labels.dtype)])
-            outlier = np.concatenate([outlier, np.zeros(pad, outlier.dtype)])
+        # the sort permutation is per-scan state: capture it in the token so
+        # pipelined finalization (which lags dispatch) restores the RIGHT
+        # scan's point order
+        return _InFlight(
+            index=rec.index, timestamp=rec.timestamp, n_points=n, t0=t0,
+            step_out=step_out, aux=aux,
+            order=self._last_order if self.config.sorted_scans else None,
+        )
+
+    def _finalize(self, tok: "_InFlight") -> ScanResult:
+        """Fetch a dispatched scan's outputs and assemble the ScanResult."""
+        step_out, aux, order, n = tok.step_out, tok.aux, tok.order, tok.n_points
+
+        def fetch(dev, cast=None):
+            a = np.asarray(jax.device_get(dev))
+            if cast is not None:
+                a = a.astype(cast)
+            if order is not None:
+                u = np.empty_like(a)
+                u[order] = a
+                a = u
+            if n > a.shape[0]:
+                # scan exceeded config.max_points: overflow points were never
+                # processed; report them as dropped (label 0 / zeros) so the
+                # output always aligns 1:1 with the input cloud.
+                a = np.concatenate([a, np.zeros(n - a.shape[0], a.dtype)])
+            return a[:n]
+
+        labels = fetch(step_out.labels)
+        outlier = fetch(step_out.outlier, cast=bool)
+        ms = (time.perf_counter() - tok.t0) * 1000.0
+        self.stats.update(ms)
         aux_np = None
         x_np = y_np = None
         if aux is not None:
             aux_np = {k: np.asarray(v) for k, v in aux._asdict().items()}
-            x_np = np.asarray(jax.device_get(step_out.x))
-            y_np = np.asarray(jax.device_get(step_out.y))
-            if self.config.sorted_scans and self._last_order is not None:
-                ux = np.empty_like(x_np)
-                ux[self._last_order] = x_np
-                uy = np.empty_like(y_np)
-                uy[self._last_order] = y_np
-                x_np, y_np = ux, uy
-            if n > x_np.shape[0]:
-                pad = n - x_np.shape[0]
-                x_np = np.concatenate([x_np, np.zeros(pad, x_np.dtype)])
-                y_np = np.concatenate([y_np, np.zeros(pad, y_np.dtype)])
-            x_np, y_np = x_np[:n], y_np[:n]
+            x_np = fetch(step_out.x)
+            y_np = fetch(step_out.y)
         return ScanResult(
-            index=rec.index,
-            timestamp=rec.timestamp,
-            labels=labels[:n],
-            outlier=outlier[:n],
+            index=tok.index,
+            timestamp=tok.timestamp,
+            labels=labels,
+            outlier=outlier,
             n_points=n,
             wall_ms=ms,
             aux=aux_np,
@@ -294,11 +322,45 @@ class StreamingDriver:
         self,
         records: Iterable[ScanRecord],
         callback: Optional[Callable[[ScanResult], None]] = None,
+        pipeline_depth: int = 0,
     ) -> Iterator[ScanResult]:
+        """Stream records through the pipeline; yields one result per scan.
+
+        ``pipeline_depth``: number of scans allowed in flight beyond the one
+        being finalized. 0 (default) is fully synchronous -- each scan's
+        device-to-host fetch completes before the next dispatch, matching
+        the reference's lock-step cadence. Depth >= 1 dispatches ahead so
+        host prep + device compute + D2H overlap (results still arrive in
+        order, bitwise identical: the grid-state recurrence is chained on
+        device regardless). With depth >= 1 streaming wall throughput
+        approaches the on-device rate; per-scan ``wall_ms`` then measures
+        dispatch-to-finalize latency (it includes pipeline residency).
+        """
+        if pipeline_depth <= 0:
+            for rec in records:
+                result = self.process(rec)
+                if result is None:
+                    continue  # dropped scan (degraded mode)
+                if callback is not None:
+                    callback(result)
+                yield result
+            return
+
+        import collections
+
+        queue: collections.deque = collections.deque()
         for rec in records:
-            result = self.process(rec)
-            if result is None:
-                continue  # dropped scan (degraded mode)
+            rec = self._check_pose(rec)
+            if rec is None:
+                continue
+            queue.append(self._dispatch_checked(rec))
+            if len(queue) > pipeline_depth:
+                result = self._finalize(queue.popleft())
+                if callback is not None:
+                    callback(result)
+                yield result
+        while queue:
+            result = self._finalize(queue.popleft())
             if callback is not None:
                 callback(result)
             yield result

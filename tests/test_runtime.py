@@ -47,6 +47,42 @@ def test_streaming_and_checkpoint_resume(tiny_config, tiny_dataset, tmp_path):
         np.testing.assert_array_equal(a.labels, b.labels)
 
 
+@pytest.mark.parametrize("sorted_mode", [False, True])
+def test_pipelined_run_matches_sync(tiny_config, tiny_dataset, sorted_mode):
+    """run(pipeline_depth=2) == lock-step processing, bitwise, in order.
+
+    The grid-state recurrence chains on device regardless of how far the
+    host dispatches ahead, so pipelining must not change a single label --
+    including in sorted-scan mode, where each scan's sort permutation must
+    be restored from its OWN token, not the driver's latest.
+    """
+    import dataclasses
+
+    cfg = dataclasses.replace(tiny_config, sorted_scans=sorted_mode)
+    d_sync = StreamingDriver(cfg)
+    want = [d_sync.process(r) for r in tiny_dataset.iter_scans()]
+
+    d_pipe = StreamingDriver(cfg)
+    got = list(d_pipe.run(tiny_dataset.iter_scans(), pipeline_depth=2))
+
+    assert [r.index for r in got] == [r.index for r in want]
+    for a, b in zip(want, got):
+        np.testing.assert_array_equal(a.labels, b.labels)
+        np.testing.assert_array_equal(a.outlier, b.outlier)
+
+
+def test_pipelined_run_drops_bad_pose(tiny_config, tiny_dataset):
+    """Degraded-mode drops work identically under pipelining."""
+    recs = list(tiny_dataset.iter_scans())
+    import dataclasses as dc
+
+    bad = dc.replace(recs[1], t_map_velo=np.full((4, 4), np.nan))
+    stream = [recs[0], bad] + recs[2:]
+    d = StreamingDriver(tiny_config)
+    got = list(d.run(iter(stream), pipeline_depth=3))
+    assert [r.index for r in got] == [recs[0].index] + [r.index for r in recs[2:]]
+
+
 def test_checkpoint_geometry_mismatch(tiny_config, tmp_path):
     driver = StreamingDriver(tiny_config)
     rec = next(iter_scans_once(tiny_config))
