@@ -30,6 +30,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--no-sorted", dest="sorted_scans", action="store_false")
     p.add_argument("--native-loader", action="store_true",
                    help="use the C++ prefetching loader")
+    p.add_argument("--pipeline-depth", type=int, default=0,
+                   help="scans dispatched ahead of the fetch (0 = lock-step; "
+                        ">=1 overlaps host prep, device compute and D2H -- "
+                        "bitwise-identical results; incompatible with "
+                        "--checkpoint; --on-device-eval is already pipelined)")
     p.add_argument("--checkpoint", default="",
                    help="grid-state checkpoint file (.npz) to write "
                         "periodically (and resume from with --resume)")
@@ -143,6 +148,11 @@ def cmd_evaluate(args) -> int:
     from groundgrid_tpu.runtime.driver import StreamingDriver
 
     cfg = _config(args)
+    if args.pipeline_depth > 0 and args.checkpoint:
+        print("--pipeline-depth and --checkpoint are mutually exclusive "
+              "(in-flight scans make the checkpointed state run ahead of "
+              "the stream position)", file=sys.stderr)
+        return 2
     sequences = _parse_sequences(str(args.sequence))
     name = sequences[0] if len(sequences) == 1 else ",".join(sequences)
     per_seq = {}
@@ -196,18 +206,17 @@ def cmd_evaluate(args) -> int:
                 driver.reset()
                 seq_ev = Evaluator(seq)
                 first = None
-            for rec in _records(ds, cfg, args, start_index=first):
-                res = driver.process(rec)
-                if res is None:
-                    continue
-                ev.add_cloud(res.labels, rec.labels)
-                seq_ev.add_cloud(res.labels, rec.labels)
+            for res, gt_labels, rec_index in _scored_results(
+                driver, _records(ds, cfg, args, start_index=first), args
+            ):
+                ev.add_cloud(res.labels, gt_labels)
+                seq_ev.add_cloud(res.labels, gt_labels)
                 if ev.clouds % 500 == 0:  # reference cadence (:123-124)
                     print(ev.format_statistics(), flush=True)
                 if (args.checkpoint and args.checkpoint_every > 0
                         and ev.clouds % args.checkpoint_every == 0):
                     save_state(
-                        args.checkpoint, driver.state, rec.index + 1, cfg,
+                        args.checkpoint, driver.state, rec_index + 1, cfg,
                         extra=dict(
                             evaluator=ev.state_dict(),
                             seq_evaluator=seq_ev.state_dict(),
@@ -238,12 +247,47 @@ def cmd_evaluate(args) -> int:
     return 0
 
 
+def _scored_results(driver, records, args):
+    """Yield (result, gt_labels, record_index), optionally pipelined.
+
+    With ``--pipeline-depth`` > 0 the driver dispatches ahead of the fetch;
+    ground-truth labels for in-flight scans are held in a bounded side map
+    keyed by scan index until their result arrives (results stay in order).
+    """
+    depth = getattr(args, "pipeline_depth", 0)
+    if depth <= 0:
+        for rec in records:
+            res = driver.process(rec)
+            if res is None:
+                continue
+            yield res, rec.labels, rec.index
+        return
+
+    pending = {}
+
+    def tap():
+        for rec in records:
+            pending[rec.index] = rec.labels
+            yield rec
+
+    for res in driver.run(tap(), pipeline_depth=depth):
+        yield res, pending.pop(res.index), res.index
+
+
 def cmd_playback(args) -> int:
     from groundgrid_tpu.data.semantickitti import SemanticKITTI
     from groundgrid_tpu.runtime.checkpoint import save_state
     from groundgrid_tpu.runtime.driver import StreamingDriver
 
     ds = SemanticKITTI(args.directory, args.sequence)
+    if args.pipeline_depth > 0 and args.checkpoint:
+        # with scans in flight the driver's grid state runs AHEAD of the
+        # yielded result, so a mid-stream checkpoint would pair state(t+d)
+        # with index t+1 and resume incorrectly
+        print("--pipeline-depth and --checkpoint are mutually exclusive "
+              "(in-flight scans make the checkpointed state run ahead of "
+              "the stream position)", file=sys.stderr)
+        return 2
     want_aux = bool(args.export_layers or args.export_terrain or args.export_html)
     cfg = _config(args)
     driver = StreamingDriver(cfg, with_aux=want_aux)
@@ -354,10 +398,6 @@ def main(argv=None) -> int:
     p_play.add_argument("--html-max-frames", type=int, default=400)
     p_play.add_argument("--rate", type=float, default=0.0,
                         help="real-time pacing factor (0 = as fast as possible)")
-    p_play.add_argument("--pipeline-depth", type=int, default=0,
-                        help="scans dispatched ahead of the fetch (0 = "
-                             "lock-step; >=1 overlaps host prep, device "
-                             "compute and D2H for streaming throughput)")
     _add_common(p_play)
     p_play.set_defaults(func=cmd_playback)
 

@@ -65,6 +65,30 @@ def test_playback_with_exports(dataset_root, capsys, tmp_path):
     assert len(list((tmp_path / "terrain").glob("*.npy"))) > 0
 
 
+def test_evaluate_pipelined_matches_sync(long_dataset_root, capsys):
+    """--pipeline-depth changes no counts (bitwise-equal labels, same GT)."""
+    rc = main(["evaluate", "--directory", long_dataset_root, "--sequence", "00"]
+              + COMMON)
+    assert rc == 0
+    want = _eval_payload(capsys)
+    rc = main(["evaluate", "--directory", long_dataset_root, "--sequence", "00",
+               "--pipeline-depth", "2"] + COMMON)
+    assert rc == 0
+    got = _eval_payload(capsys)
+    for key in ("scans", "true_positive", "false_positive", "true_negative",
+                "false_negative", "gt_ground_total"):
+        assert got[key] == want[key], key
+
+
+def test_pipeline_depth_checkpoint_exclusive(long_dataset_root, capsys, tmp_path):
+    for cmd in ("evaluate", "playback"):
+        rc = main([cmd, "--directory", long_dataset_root, "--sequence", "00",
+                   "--pipeline-depth", "2",
+                   "--checkpoint", str(tmp_path / "x.npz")] + COMMON)
+        assert rc == 2
+        assert "mutually exclusive" in capsys.readouterr().err
+
+
 def test_playback_export_html(dataset_root, capsys, tmp_path):
     out_html = tmp_path / "seq.html"
     rc = main([
