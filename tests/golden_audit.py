@@ -1,0 +1,533 @@
+"""Independent re-derivation of the GroundGrid reference semantics (audit oracle).
+
+PURPOSE (round-3 audit): ``groundgrid_tpu/golden.py`` is the NumPy oracle every
+parity test compares the TPU pipeline against.  Both golden.py and the JAX
+implementation were written from the *same* round-1 reading of the C++, so a
+shared misreading would be invisible to every existing test.  This module is a
+*second, independent* transliteration of the reference algorithm, written in
+round 3 directly from a fresh line-by-line read of
+
+  - /root/reference/src/GroundSegmentation.cpp   (all stages)
+  - /root/reference/src/GroundGrid.cpp            (grid state + damage fill)
+  - /root/reference/include/groundgrid/GroundSegmentation.h (constants)
+  - /root/reference/cfg/GroundGrid.cfg            (parameter defaults)
+
+WITHOUT consulting golden.py (verifiable from git history: this file is
+committed before any round-3 change to golden.py).  ``test_golden_audit.py``
+then diffs the two derivations; every discrepancy is investigated against the
+C++ and documented in AUDIT.md.
+
+Deliberate non-goals: performance (pure Python loops are fine here) and
+bit-exactness with the C++'s mixed float/double expression typing (arithmetic
+is done in float64 and stored as float32 per layer write; branch decisions can
+differ from the C++ in ~1-ulp edge cases, the same noise class as the
+reference's documented data races).
+
+Derivation notes (subtleties captured from the C++; line numbers cited):
+
+* expectedPoints  (GroundSegmentation.cpp:37-48): dist in CELL units from
+  (N/2.0, N/2.0) = (182.0, 182.0) for N=364 — *not* cell (181,181) and not
+  meters; expected = atan(1/dist)/verticalPointAngDist with
+  verticalPointAngDist = 2*0.00174532925 (header :69).  At dist==0,
+  1/0 == +inf in C float math and atan(inf) = pi/2.
+* grid_map index convention: index (0,0) is the corner of MAXIMUM x and y;
+  index i increases as x decreases.  Cell (i,j) center =
+  map_center + (((N-1)/2) - (i,j)) * res.  getIndex = floor((L/2 - (p-c))/res).
+* grid_map::move snaps to the cell lattice anchored at the *initial* odom
+  position: shift_cells = round_half_away_from_zero((new-old)/res) per axis,
+  new_center = old_center + shift_cells*res.  Only `ground` and `groundpatch`
+  persist across scans; every other layer is fully reset by filter_cloud, so
+  grid_map's NaN-fill of damage regions is unobservable.  Damage fill
+  (GroundGrid.cpp:121-133): ground := -(T_base_from_map @ (x, y, 0, 1)).z,
+  groundpatch := 0.  No-movement => damage empty => early return (:136-137).
+* insert_cloud (GroundSegmentation.cpp:200-311), per point in scan order:
+    - outside map => skipped entirely (before any counting)  (:228-231)
+    - pointsRaw += 1 for every inside point                   (:234)
+    - ring > max_ring or XY sqdist to origin < 12 m² => "ignored": no
+      accumulators, no outlier test, but re-added for classification (:237-240)
+    - outlier march (:242-275) only when z < ground(cell) - 0.2, reading the
+      PREVIOUS scan's ground/groundpatch:  v = (p-o)/|p-o| (3D, float32);
+      loop-invariant guard v.z < -0.01; steps are INTEGER multiples of the
+      unit vector starting at 3 while step²·|v|² < |p-o|²; per step the cell
+      under origin+step*v is looked up; raw (unwrapped) indices outside
+      [1, N-2] on either axis => step skipped (continue, not break) (:264-265);
+      the 3x3 groundpatch block is anchored at max(idx-1, 2) PER AXIS — the
+      lower clamp is 2, NOT 0, so for idx 1..2 the block is shifted (:268);
+      outlier iff blocksum > min_outlier_detection_ground_confidence AND
+      groundpatch(idx) > 0.01 AND ground(idx) >= step*v.z + o.z +
+      outlier_tolerance (:269); outliers skip accumulation and are force-
+      labeled ground (49) at the end, exempt from the border drop (:185-189).
+    - accumulators (:282-309), sequential per cell (within-cell scan order):
+      groundCandidates = running mean of z; planeDist = z - o.z;
+      meanVariance seeds to planeDist whenever it is EXACTLY 0.0 (:298-299)
+      and then still applies the regular Welford update (delta therefore 0 on
+      the seeding point, but planeDistMap still updates); m2 += delta*(pd -
+      mean_after); maxGroundHeight = max(, z) from +FLT_MIN (not -inf,
+      filter_cloud :73); minGroundHeight = min(, z - 0.0001f) from +FLT_MAX.
+      `points` increments LAST (all running means use the pre-increment count).
+* detect (GroundSegmentation.cpp:314-395): variance = m2/(points + FLT_MIN)
+  elementwise; cells (i,j) in [2, N-3]² (union of the 4 thread sections);
+  patch S=3 iff ((i-N/2)² + (j-N/2)²)·res² <= patch_size_change_distance²
+  else S=5.  Per cell: blocks of points/variance/minGroundHeight at
+  (i-S//2, j-S//2); early skip if blocksum < max(floor(thr·S·expected), 3);
+  varThresholdsq = clamp(sqdist·df², mindf², (10·mindf)²); maxVar = center
+  variance if center points >= point_count_cell_variance_threshold else
+  sum(points·var)/blocksum; groundlevel = sum(points·min)/blocksum;
+  groundDiff = max((groundlevel - ground)·2·conf, 1.0); hard guard: conf >
+  0.5 and groundlevel >= ground + outlier_tolerance => NO update at all
+  (:379-380); main update iff varThresholdsq > maxVar² and maxVar > 0 and
+  blocksum > groundDiff·expected·S·thr:
+    newConf = min(blocksum/occupied_cells_point_count_factor, 1);
+    ground = (groundlevel·newConf + conf·ground·2)/(newConf + conf·2);
+    conf   = min((blocksum/(2·factor) + conf)/2, 1);
+  else iff localmin(min block) < ground: ground = localmin,
+    conf = min(conf + 0.1, 0.5).
+  Writes are cell-local (blocks read only layers this stage never writes), so
+  the 4-thread section race is benign and any visit order is equivalent.
+* spiral (GroundSegmentation.cpp:398-465): center = N/2 - 1 = 181 (NOT 182);
+  seed conf(c,c)=1, ground(c,c) = (T_map_from_base @ origin).z; rings walk
+  i = c-1 down to 1 (inner ring FIRST), ring i spans [i, 2c-i]; visit order:
+  top row (i, y=i..hi-1), left col (x=i..hi-1, i), bottom row (hi, y=hi..i
+  DESCENDING, hi-i+1 cells), right col (x=hi..i descending, hi) — corners
+  (i,i) and (hi,hi) are visited TWICE, (i,hi)/(hi,i) once (:421-439).
+  interpolate_cell (:445-465): 3x3 conf/ground blocks at (x-1, y-1) with NO
+  clamping; denom = confsum + FLT_MIN; h = (1-conf)·avg + conf·h IN WALK
+  ORDER (later cells see earlier updates, including same-ring and the
+  double-visited corners); conf decays ONLY where ((x-c)² + (y-c)²)·res² >
+  12 m²: conf = max(conf - conf/occupied_cells_decrease_factor, 0.001) — a
+  FLOOR: damage cells (conf 0) and init cells (1e-7) are RAISED to 0.001.
+* classify (GroundSegmentation.cpp:146-189): points layer zeroed; ignored
+  points appended to the accepted list; per point (outliers excluded): DROP
+  entirely if cell index i >= N-3 or j >= N-3 (max border only, :167-168);
+  tolerance = max(min(5·minimum_distance_factor·dist_xy/variance ·
+  miminum_point_height_threshold, miminum_point_height_threshold),
+  minimum_point_height_obstacle_threshold) — variance 0 => inf => capped;
+  non-ground iff ground + tolerance < z (then points(cell) += 1) else ground.
+  Outliers appended last with label 49 (ground).
+* init (GroundGrid.cpp:50-80): ground = odom z CONSTANT everywhere,
+  groundpatch = 1e-7, center = exact odom xy (the snap lattice anchor).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+
+FLT_MIN = float(np.finfo(np.float32).tiny)   # 1.1754944e-38
+FLT_MAX = float(np.finfo(np.float32).max)
+
+VERTICAL_POINT_ANG_DIST = 0.00174532925 * 2.0   # GroundSegmentation.h:69
+MIN_DIST_SQUARED = 12.0                          # GroundSegmentation.h:70
+
+LABEL_NONGROUND = 99
+LABEL_GROUND = 49
+LABEL_DROPPED = 0   # point removed from the output cloud (border drop)
+
+
+@dataclasses.dataclass(frozen=True)
+class AuditConfig:
+    """The 15 dynamic-reconfigure parameters, defaults from cfg/GroundGrid.cfg:8-21."""
+    point_count_cell_variance_threshold: int = 10
+    max_ring: int = 1024
+    groundpatch_detection_minimum_threshold: float = 0.01   # never read (parity)
+    distance_factor: float = 0.0001
+    minimum_distance_factor: float = 0.0005
+    miminum_point_height_threshold: float = 0.3              # sic, reference typo
+    minimum_point_height_obstacle_threshold: float = 0.1
+    outlier_tolerance: float = 0.1
+    ground_patch_detection_minimum_point_count_threshold: float = 0.25
+    patch_size_change_distance: float = 20.0
+    occupied_cells_decrease_factor: float = 5.0
+    occupied_cells_point_count_factor: float = 20.0
+    min_outlier_detection_ground_confidence: float = 1.25
+    thread_count: int = 8
+
+
+@dataclasses.dataclass
+class AuditState:
+    """Persistent grid state: only `ground`/`groundpatch` survive across scans."""
+    center: np.ndarray          # (2,) float64, map-frame position of grid center
+    ground: np.ndarray          # (N, N) float32
+    groundpatch: np.ndarray     # (N, N) float32
+    n: int
+    resolution: float
+
+
+def expected_points_table(n: int) -> np.ndarray:
+    """GroundSegmentation.cpp:37-48 (cell-unit distances from (n/2, n/2))."""
+    i = np.arange(n, dtype=np.float64)
+    d = np.hypot(i[:, None] - n / 2.0, i[None, :] - n / 2.0)
+    with np.errstate(divide="ignore"):
+        inv = np.where(d == 0.0, np.inf, 1.0 / d)
+    return (np.arctan(inv) / VERTICAL_POINT_ANG_DIST).astype(np.float32)
+
+
+def audit_init(odom_xyz, n: int = 364, resolution: float = 0.33) -> AuditState:
+    """GroundGrid::initGroundGrid (GroundGrid.cpp:50-80)."""
+    odom_xyz = np.asarray(odom_xyz, dtype=np.float64)
+    ground = np.full((n, n), np.float32(odom_xyz[2]), dtype=np.float32)
+    groundpatch = np.full((n, n), np.float32(1e-7), dtype=np.float32)
+    return AuditState(center=odom_xyz[:2].copy(), ground=ground,
+                      groundpatch=groundpatch, n=n, resolution=resolution)
+
+
+def _round_half_away(x: float) -> int:
+    """grid_map getIndexShiftFromPositionShift rounding."""
+    return int(x + 0.5) if x > 0 else int(x - 0.5)
+
+
+def cell_positions(state: AuditState) -> tuple[np.ndarray, np.ndarray]:
+    """Map-frame x of each row index and y of each column index."""
+    half = (state.n - 1) / 2.0
+    idx = np.arange(state.n, dtype=np.float64)
+    x = state.center[0] + (half - idx) * state.resolution
+    y = state.center[1] + (half - idx) * state.resolution
+    return x, y
+
+
+def audit_move(state: AuditState, odom_xy, t_base_from_map: np.ndarray) -> AuditState:
+    """GroundGrid::update (GroundGrid.cpp:83-147): snap-move + damage fill."""
+    odom_xy = np.asarray(odom_xy, dtype=np.float64)
+    res = state.resolution
+    n = state.n
+    si = _round_half_away((odom_xy[0] - state.center[0]) / res)
+    sj = _round_half_away((odom_xy[1] - state.center[1]) / res)
+    if si == 0 and sj == 0:
+        return state    # damage empty -> early return (GroundGrid.cpp:136-137)
+    new_center = state.center + np.array([si * res, sj * res])
+    # +x movement exposes low row indices (index 0 is the max-x corner).
+    ground = np.roll(state.ground, (si, sj), axis=(0, 1))
+    patch = np.roll(state.groundpatch, (si, sj), axis=(0, 1))
+    dmg_i = np.zeros(n, dtype=bool)
+    dmg_j = np.zeros(n, dtype=bool)
+    if abs(si) >= n:
+        dmg_i[:] = True
+    elif si > 0:
+        dmg_i[:si] = True
+    elif si < 0:
+        dmg_i[si:] = True
+    if abs(sj) >= n:
+        dmg_j[:] = True
+    elif sj > 0:
+        dmg_j[:sj] = True
+    elif sj < 0:
+        dmg_j[sj:] = True
+    damage = dmg_i[:, None] | dmg_j[None, :]
+    nstate = AuditState(center=new_center, ground=ground, groundpatch=patch,
+                        n=n, resolution=res)
+    xs, ys = cell_positions(nstate)
+    t = np.asarray(t_base_from_map, dtype=np.float64)
+    # z of (x, y, 0, 1) in base frame; ground := -z_base (GroundGrid.cpp:121-133)
+    zb = t[2, 0] * xs[:, None] + t[2, 1] * ys[None, :] + t[2, 3]
+    ground[damage] = (-zb[damage]).astype(np.float32)
+    patch[damage] = 0.0
+    return nstate
+
+
+def get_index(state: AuditState, px: float, py: float) -> tuple[int, int]:
+    """grid_map getIndexFromPosition, default start index, unwrapped."""
+    half_len = state.n * state.resolution / 2.0
+    i = math.floor((half_len - (px - state.center[0])) / state.resolution)
+    j = math.floor((half_len - (py - state.center[1])) / state.resolution)
+    return i, j
+
+
+def audit_insert(state: AuditState, points: np.ndarray, rings: np.ndarray,
+                 origin: np.ndarray, config: AuditConfig):
+    """Stage 1: insert_cloud over the whole scan, sequential scan order.
+
+    Returns (scratch, accepted, ignored, outliers) where scratch is a dict of
+    the per-scan layers and accepted/ignored/outliers are index arrays into
+    `points` (accepted/ignored keep their cell index alongside).
+    """
+    n = state.n
+    res = state.resolution
+    cfg = config
+    points = np.asarray(points, dtype=np.float64)
+    origin = np.asarray(origin, dtype=np.float64)
+    m = points.shape[0]
+
+    ground = state.ground
+    patch = state.groundpatch
+
+    points_l = np.zeros((n, n), dtype=np.float64)          # "points"
+    points_raw = np.zeros((n, n), dtype=np.float64)        # "pointsRaw"
+    ground_cand = np.zeros((n, n), dtype=np.float64)       # "groundCandidates"
+    plane_dist_l = np.zeros((n, n), dtype=np.float64)      # "planeDist"
+    mean_var = np.zeros((n, n), dtype=np.float64)          # "meanVariance"
+    m2_l = np.zeros((n, n), dtype=np.float64)              # "m2"
+    min_h = np.full((n, n), FLT_MAX, dtype=np.float64)     # "minGroundHeight"
+    max_h = np.full((n, n), FLT_MIN, dtype=np.float64)     # "maxGroundHeight"
+
+    half_len = n * res / 2.0
+    # vectorized per-point precomputation
+    gi_all = np.floor((half_len - (points[:, 0] - state.center[0])) / res).astype(np.int64)
+    gj_all = np.floor((half_len - (points[:, 1] - state.center[1])) / res).astype(np.int64)
+    inside = (gi_all >= 0) & (gi_all < n) & (gj_all >= 0) & (gj_all < n)
+    sqdist = (points[:, 0] - origin[0]) ** 2 + (points[:, 1] - origin[1]) ** 2
+    ignored_mask = (rings.astype(np.int64) > cfg.max_ring) | (sqdist < MIN_DIST_SQUARED)
+
+    # normalized direction, float32 like the C++ (GroundSegmentation.cpp:247-255)
+    vec32 = (points - origin[None, :]).astype(np.float32)
+    length32 = np.sqrt(np.sum(vec32 * vec32, axis=1, dtype=np.float32)).astype(np.float32)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        v32 = vec32 / length32[:, None]
+
+    accepted: list[tuple[int, int, int]] = []
+    ignored: list[tuple[int, int, int]] = []
+    outliers: list[int] = []
+
+    min_conf = cfg.min_outlier_detection_ground_confidence
+    out_tol = cfg.outlier_tolerance
+
+    for k in range(m):
+        if not inside[k]:
+            continue
+        gi = gi_all[k]
+        gj = gj_all[k]
+        points_raw[gi, gj] += 1.0
+        if ignored_mask[k]:
+            ignored.append((k, gi, gj))
+            continue
+
+        z = points[k, 2]
+        # outlier march against PREVIOUS-scan ground/groundpatch
+        if z < float(ground[gi, gj]) - 0.2:
+            vx, vy, vz = (float(v32[k, 0]), float(v32[k, 1]), float(v32[k, 2]))
+            ln = float(length32[k])
+            is_outlier = False
+            if vz < -0.01:
+                vsq = vx * vx + vy * vy + vz * vz
+                lsq = ln * ln
+                step = 3
+                while step * step * vsq < lsq:
+                    ix, iy = get_index(state, step * vx + origin[0],
+                                       step * vy + origin[1])
+                    if not (ix <= 0 or iy <= 0 or ix >= n - 1 or iy >= n - 1):
+                        b0 = max(ix - 1, 2)
+                        b1 = max(iy - 1, 2)
+                        bsum = float(np.sum(patch[b0:b0 + 3, b1:b1 + 3],
+                                            dtype=np.float64))
+                        if (bsum > min_conf and float(patch[ix, iy]) > 0.01
+                                and float(ground[ix, iy]) >= step * vz + origin[2] + out_tol):
+                            is_outlier = True
+                            break
+                    step += 1
+            if is_outlier:
+                outliers.append(k)
+                continue
+
+        accepted.append((k, gi, gj))
+        cnt = points_l[gi, gj]
+        plane_dist = z - origin[2]
+        ground_cand[gi, gj] = (z + cnt * ground_cand[gi, gj]) / (cnt + 1.0)
+        mean = mean_var[gi, gj]
+        if mean == 0.0:
+            mean = plane_dist
+        if not math.isnan(plane_dist):
+            delta = plane_dist - mean
+            mean += delta / (cnt + 1.0)
+            plane_dist_l[gi, gj] = (plane_dist + cnt * plane_dist_l[gi, gj]) / (cnt + 1.0)
+            m2_l[gi, gj] += delta * (plane_dist - mean)
+        mean_var[gi, gj] = mean
+        max_h[gi, gj] = max(max_h[gi, gj], z)
+        min_h[gi, gj] = min(min_h[gi, gj], z - 0.0001)
+        points_l[gi, gj] = cnt + 1.0
+
+    scratch = {
+        "points": points_l, "pointsRaw": points_raw,
+        "groundCandidates": ground_cand, "planeDist": plane_dist_l,
+        "meanVariance": mean_var, "m2": m2_l,
+        "minGroundHeight": min_h, "maxGroundHeight": max_h,
+    }
+    return scratch, accepted, ignored, outliers
+
+
+def _block_sums(a: np.ndarray, s: int) -> np.ndarray:
+    """Sum of s×s blocks centered at each interior cell; same-shape output
+    (border cells where the block would leave the array are 0/invalid)."""
+    n = a.shape[0]
+    c = s // 2
+    out = np.zeros_like(a)
+    w = np.lib.stride_tricks.sliding_window_view(a, (s, s))
+    out[c:n - c, c:n - c] = w.sum(axis=(2, 3))
+    return out
+
+
+def audit_detect(state: AuditState, scratch: dict, config: AuditConfig) -> np.ndarray:
+    """Stage 2: variance + detect_ground_patches (GroundSegmentation.cpp:314-395).
+
+    Mutates state.ground/state.groundpatch; returns the variance layer.
+    """
+    n = state.n
+    res = state.resolution
+    cfg = config
+    pts = scratch["points"]
+    variance = scratch["m2"] / (pts + FLT_MIN)
+    minh = scratch["minGroundHeight"]
+    expected = expected_points_table(n).astype(np.float64)
+
+    idx = np.arange(n, dtype=np.float64)
+    sqdist = ((idx[:, None] - n / 2.0) ** 2 + (idx[None, :] - n / 2.0) ** 2) * res * res
+    thr = cfg.ground_patch_detection_minimum_point_count_threshold
+    df2 = cfg.distance_factor ** 2
+    mindf2 = cfg.minimum_distance_factor ** 2
+    var_threshold_sq = np.clip(sqdist * df2, mindf2, (cfg.minimum_distance_factor * 10) ** 2)
+
+    interior = np.zeros((n, n), dtype=bool)
+    interior[2:n - 2, 2:n - 2] = True
+    use3 = sqdist <= cfg.patch_size_change_distance ** 2
+
+    ground = state.ground.astype(np.float64)
+    conf = state.groundpatch.astype(np.float64)
+    new_ground = ground.copy()
+    new_conf = conf.copy()
+
+    for s, sel in ((3, use3 & interior), (5, (~use3) & interior)):
+        psum = _block_sums(pts, s)
+        pv_sum = _block_sums(pts * variance, s)
+        pm_sum = _block_sums(pts * minh, s)
+        c = s // 2
+        localmin = np.full((n, n), np.inf)
+        w = np.lib.stride_tricks.sliding_window_view(minh, (s, s))
+        localmin[c:n - c, c:n - c] = w.min(axis=(2, 3))
+
+        early_keep = psum >= np.maximum(np.floor(thr * s * expected), 3.0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            max_var = np.where(pts >= cfg.point_count_cell_variance_threshold,
+                               variance, pv_sum / psum)
+            groundlevel = pm_sum / psum
+        ground_diff = np.maximum((groundlevel - ground) * (2.0 * conf), 1.0)
+        hard_guard = (conf > 0.5) & (groundlevel >= ground + cfg.outlier_tolerance)
+        main = ((var_threshold_sq > max_var ** 2) & (max_var > 0)
+                & (psum > ground_diff * expected * s * thr))
+        fallback = localmin < ground
+
+        elig = sel & early_keep & ~hard_guard
+        nc = np.minimum(psum / cfg.occupied_cells_point_count_factor, 1.0)
+        g_main = (groundlevel * nc + conf * ground * 2.0) / (nc + conf * 2.0)
+        c_main = np.minimum((psum / (cfg.occupied_cells_point_count_factor * 2.0) + conf) / 2.0, 1.0)
+
+        m_main = elig & main
+        m_fb = elig & ~main & fallback
+        new_ground[m_main] = g_main[m_main]
+        new_conf[m_main] = c_main[m_main]
+        new_ground[m_fb] = localmin[m_fb]
+        new_conf[m_fb] = np.minimum(conf[m_fb] + 0.1, 0.5)
+
+    state.ground = new_ground.astype(np.float32)
+    state.groundpatch = new_conf.astype(np.float32)
+    return variance
+
+
+def audit_spiral(state: AuditState, t_map_from_base: np.ndarray,
+                 config: AuditConfig) -> None:
+    """Stage 3: spiral_ground_interpolation (GroundSegmentation.cpp:398-465)."""
+    n = state.n
+    res = state.resolution
+    c = n // 2 - 1
+    decay = config.occupied_cells_decrease_factor
+    t = np.asarray(t_map_from_base, dtype=np.float64)
+
+    # python lists: ~10x faster scalar access than numpy in the walk
+    g = [list(map(float, row)) for row in state.ground]
+    p = [list(map(float, row)) for row in state.groundpatch]
+    p[c][c] = 1.0
+    g[c][c] = float(np.float32(t[2, 3]))   # base origin z in map frame
+
+    # precompute decay eligibility: ((x-c)² + (y-c)²)·res² > 12 m²
+    lim = MIN_DIST_SQUARED / (res * res)
+
+    def cell(x: int, y: int) -> None:
+        csum = (p[x - 1][y - 1] + p[x - 1][y] + p[x - 1][y + 1]
+                + p[x][y - 1] + p[x][y] + p[x][y + 1]
+                + p[x + 1][y - 1] + p[x + 1][y] + p[x + 1][y + 1]) + FLT_MIN
+        avg = (p[x - 1][y - 1] * g[x - 1][y - 1] + p[x - 1][y] * g[x - 1][y]
+               + p[x - 1][y + 1] * g[x - 1][y + 1]
+               + p[x][y - 1] * g[x][y - 1] + p[x][y] * g[x][y]
+               + p[x][y + 1] * g[x][y + 1]
+               + p[x + 1][y - 1] * g[x + 1][y - 1] + p[x + 1][y] * g[x + 1][y]
+               + p[x + 1][y + 1] * g[x + 1][y + 1]) / csum
+        occ = p[x][y]
+        g[x][y] = (1.0 - occ) * avg + occ * g[x][y]
+        dx = x - c
+        dy = y - c
+        if dx * dx + dy * dy > lim:
+            p[x][y] = max(occ - occ / decay, 0.001)
+
+    for i in range(c - 1, 0, -1):
+        hi = 2 * c - i
+        ln = hi - i   # side_length
+        for pos in range(i, i + ln):      # top row, ascending
+            cell(i, pos)
+        for pos in range(i, i + ln):      # left col, ascending
+            cell(pos, i)
+        for pos in range(hi, i - 1, -1):  # bottom row, descending (ln+1 cells)
+            cell(hi, pos)
+        for pos in range(hi, i - 1, -1):  # right col, descending (ln+1 cells)
+            cell(pos, hi)
+
+    state.ground = np.array(g, dtype=np.float32)
+    state.groundpatch = np.array(p, dtype=np.float32)
+
+
+def audit_classify(state: AuditState, points: np.ndarray, origin: np.ndarray,
+                   variance: np.ndarray, accepted, ignored, outliers,
+                   config: AuditConfig):
+    """Stages 4-5: per-point classification + outlier re-add
+    (GroundSegmentation.cpp:146-189).  Returns (labels, nonground_count_layer).
+    """
+    n = state.n
+    cfg = config
+    points = np.asarray(points, dtype=np.float64)
+    origin = np.asarray(origin, dtype=np.float64)
+    labels = np.zeros(points.shape[0], dtype=np.uint8)   # 0 = not in output
+    points_l = np.zeros((n, n), dtype=np.float64)
+
+    min_dist_fac = cfg.minimum_distance_factor * 5.0
+    h_thr = cfg.miminum_point_height_threshold
+    h_obs = cfg.minimum_point_height_obstacle_threshold
+    ground = state.ground
+
+    for k, gi, gj in list(accepted) + list(ignored):
+        if n <= gi + 3 or n <= gj + 3:
+            continue   # dropped from the output cloud entirely
+        gh = float(ground[gi, gj])
+        var = float(variance[gi, gj])
+        dist = math.hypot(points[k, 0] - origin[0], points[k, 1] - origin[1])
+        if var == 0.0:
+            tol = h_thr   # C float division by zero -> +inf -> min() caps
+        else:
+            tol = max(min((min_dist_fac * dist) / var * h_thr, h_thr), h_obs)
+        if tol + gh < points[k, 2]:
+            labels[k] = LABEL_NONGROUND
+            points_l[gi, gj] += 1.0
+        else:
+            labels[k] = LABEL_GROUND
+    for k in outliers:
+        labels[k] = LABEL_GROUND
+    return labels, points_l
+
+
+def audit_filter_cloud(state: AuditState, points: np.ndarray, rings: np.ndarray,
+                       origin, t_map_from_base: np.ndarray,
+                       config: AuditConfig = AuditConfig()):
+    """Full per-scan pipeline (GroundSegmentation::filter_cloud).
+
+    Mutates `state` (ground/groundpatch) and returns (labels, aux) with aux
+    carrying the scratch layers + variance for inspection.
+    """
+    origin = np.asarray(origin, dtype=np.float64)
+    scratch, accepted, ignored, outliers = audit_insert(
+        state, points, rings, origin, config)
+    variance = audit_detect(state, scratch, config)
+    audit_spiral(state, t_map_from_base, config)
+    labels, nonground_counts = audit_classify(
+        state, points, origin, variance, accepted, ignored, outliers, config)
+    aux = dict(scratch)
+    aux["variance"] = variance
+    aux["nonground_counts"] = nonground_counts
+    aux["n_outliers"] = len(outliers)
+    aux["n_ignored"] = len(ignored)
+    return labels, aux
