@@ -57,6 +57,17 @@ def create(config: GroundGridConfig, center_xy, center_z) -> GridState:
     return GridState(ground=ground, groundpatch=groundpatch, center=center_xy)
 
 
+def _snap_cells(x):
+    """Round positions-in-cells to whole cells, half away from zero.
+
+    grid_map's ``getIndexShiftFromPositionShift`` computes
+    ``static_cast<int>(x + 0.5*sign(x))`` -- half-AWAY-from-zero, not the
+    round-half-to-even of ``jnp.round`` (audit finding AUDIT.md #1; an
+    exactly-half-cell odometry delta snaps differently under the two rules).
+    """
+    return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
+
+
 def index_shift(config: GroundGridConfig, center, new_position):
     """Cell-aligned shift from the current center towards ``new_position``.
 
@@ -68,7 +79,7 @@ def index_shift(config: GroundGridConfig, center, new_position):
     """
     res = np.float32(config.resolution)
     delta = jnp.asarray(new_position, jnp.float32) - center
-    k = jnp.round(delta / res).astype(jnp.int32)
+    k = _snap_cells(delta / res).astype(jnp.int32)
     new_center = center + k.astype(jnp.float32) * res
     return k, new_center
 
@@ -101,7 +112,7 @@ def move(config: GroundGridConfig, state: GridState, new_position, t_base_map,
     else:
         new_center = jnp.asarray(new_center, jnp.float32)
         res = np.float32(config.resolution)
-        k = jnp.round((new_center - state.center) / res).astype(jnp.int32)
+        k = _snap_cells((new_center - state.center) / res).astype(jnp.int32)
 
     ground = jnp.roll(state.ground, shift=(k[0], k[1]), axis=(0, 1))
     groundpatch = jnp.roll(state.groundpatch, shift=(k[0], k[1]), axis=(0, 1))

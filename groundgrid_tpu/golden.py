@@ -105,7 +105,10 @@ class GoldenGroundGrid:
             return
 
         st = self.state
-        k = np.round((pos - st.center) / c.resolution).astype(np.int64)
+        dc = (pos - st.center) / c.resolution
+        # half-away-from-zero (grid_map getIndexShiftFromPositionShift:
+        # int(x + 0.5*sign(x))), NOT np.round's half-to-even (AUDIT.md #1)
+        k = (np.sign(dc) * np.floor(np.abs(dc) + 0.5)).astype(np.int64)
         st.center = st.center + k.astype(np.float64) * c.resolution
         if k[0] == 0 and k[1] == 0:
             return  # no damage; early return (GroundGrid.cpp:136-137)

@@ -430,7 +430,10 @@ class CenterTracker:
     def update(self, position_xy) -> np.ndarray:
         """Advance to (the cell-snapped version of) ``position_xy``."""
         delta = np.asarray(position_xy, np.float32) - self.center
-        k = np.round(delta / self._res).astype(np.float32)
+        dc = delta / self._res
+        # half-away-from-zero, as grid_map's getIndexShiftFromPositionShift
+        # (int(x + 0.5*sign)); np.round would round half-to-even (AUDIT.md #1)
+        k = (np.sign(dc) * np.floor(np.abs(dc) + 0.5)).astype(np.float32)
         self.center = (self.center + k * self._res).astype(np.float32)
         return self.center
 
