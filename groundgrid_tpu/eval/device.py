@@ -67,23 +67,58 @@ class DeviceEvaluator:
     Feed it device arrays (the step's ``labels`` output and ``scan.rings``);
     call :meth:`to_host` once at the end to obtain a populated
     :class:`Evaluator` with identical counts.
+
+    Overflow safety: the device table is int32 (TPU-native; x64 is globally
+    disabled), but a multi-sequence aggregate can exceed 2^31 points per
+    label -- seq 00 alone scores ~5.4e8 points, sequences 00-10 ~3e9
+    (BASELINE config 3). The accumulator therefore drains device counts into
+    a host-side int64 table every ``drain_every`` clouds (one ~35 us D2H per
+    drain -- amortized noise) and resets the device table. The int32 device
+    table is exact while ``drain_every * max_points_per_scan < 2^31``; pick
+    ``drain_every`` with :func:`safe_drain_interval`.
     """
 
-    def __init__(self, sequence: str = "00"):
+    def __init__(self, sequence: str = "00", drain_every: int = 2048):
         self.sequence = sequence
         self.counts = init_counts()
+        self.host_counts = np.zeros((L.MAX_LABEL_ID, 4), np.int64)
         self.clouds = 0
+        self.drain_every = int(drain_every)
+        self._since_drain = 0
 
     def add_cloud_device(self, pred_labels, gt_labels) -> None:
         self.counts = accumulate(self.counts, pred_labels, gt_labels)
         self.clouds += 1
+        self._since_drain += 1
+        if self.drain_every > 0 and self._since_drain >= self.drain_every:
+            self.drain()
+
+    def drain(self) -> None:
+        """Fold the device table into the host int64 table and reset it."""
+        self.host_counts += np.asarray(jax.device_get(self.counts)).astype(np.int64)
+        self.counts = init_counts()
+        self._since_drain = 0
 
     def to_host(self) -> Evaluator:
+        """Snapshot into a host :class:`Evaluator` (non-destructive)."""
         ev = Evaluator(self.sequence)
-        c = np.asarray(jax.device_get(self.counts)).astype(np.int64)
+        c = self.host_counts + np.asarray(
+            jax.device_get(self.counts)
+        ).astype(np.int64)
         ev.nonground_count = c[:, _NONGROUND]
         ev.true_positive = c[:, _TP]
         ev.false_positive = c[:, _FP]
         ev.total = c[:, _TOTAL]
         ev.clouds = self.clouds
         return ev
+
+
+def safe_drain_interval(max_points_per_scan: int, headroom: int = 8) -> int:
+    """Largest drain interval that provably cannot overflow int32.
+
+    Per scan, no accumulator cell can grow by more than the scan's point
+    count, so ``drain_every * max_points < 2^31 / headroom`` is exact with
+    ``headroom``x margin. Defaults give 2047 scans at the 131072-point cap.
+    """
+    cap = (2**31 - 1) // (headroom * max(int(max_points_per_scan), 1))
+    return max(1, min(cap, 4096))

@@ -1,6 +1,8 @@
 """Ground-segmentation evaluation: the reference scorer, ROS-free.
 
-Byte-for-byte equivalent of ``scripts/eval_groundpoint_classifier.py``:
+Byte-for-byte equivalent of ``scripts/eval_groundpoint_classifier.py``
+(format pinned by the hand-derived golden transcript in
+``tests/test_eval.py::test_statistics_format_golden_transcript``):
 per-label confusion accumulation keyed on the predicted class channel
 (49 = ground, 99 = non-ground) against the SemanticKITTI ground truth riding
 in the ring field, the per-label table, and the headline

@@ -21,9 +21,10 @@ anywhere. A is exactly 0/1 (exact in bf16); each value column ships as a
 COLUMN-AWARE exact bf16 split (see :func:`build_parts`): 0/1 indicator
 columns are bf16-exact in ONE part, real-valued columns take the exact
 3-way round-to-nearest split. The packing matters for speed, not just
-memory: the standard 6-column call packs into NW*14 = 112 B-rows -- a
-single 128-lane MXU N-tile -- where a uniform 3-way split needs 192 rows
-and two N-tiles. The MXU pass count (the kernel's measured wall: per-chunk
+memory: the standard 6-column call packs into 14 parts, padded to 16 (an
+8-multiple, so the (NW, C, P) reshape stays a bitcast) = NW*16 = 128
+B-rows -- still a single 128-lane MXU N-tile -- where a uniform 3-way
+split needs 18 parts padded to 24 = 192 rows and two N-tiles. The MXU pass count (the kernel's measured wall: per-chunk
 matmuls with fresh weights run far below peak) halves: 210 -> 130 us/scan.
 Per-cell min/max layers do NOT run in the kernel: on sorted input they are
 segmented scans whose run-end values ride the same matmul as extra columns

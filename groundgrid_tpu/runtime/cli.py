@@ -239,6 +239,10 @@ def cmd_evaluate(args) -> int:
         scans=ev.clouds,
         avg_ms=total_stats.avg_ms if total_stats else None,
         scans_per_sec=total_stats.scans_per_sec if total_stats else None,
+        # depth > 0 means avg_ms is dispatch-to-finalize latency including
+        # pipeline residency -- not comparable to lock-step latency
+        pipeline_depth=getattr(total_stats, "pipeline_depth", 0) if total_stats
+        else args.pipeline_depth,
         **m.as_dict(),
     )
     if len(sequences) > 1:
@@ -271,7 +275,13 @@ def _scored_results(driver, records, args):
             yield rec
 
     for res in driver.run(tap(), pipeline_depth=depth):
-        yield res, pending.pop(res.index), res.index
+        gt = pending.pop(res.index)
+        # results arrive in order, so entries below res.index belong to scans
+        # the driver dropped (non-finite pose) and would otherwise leak for
+        # the life of the run
+        for stale in [k for k in pending if k < res.index]:
+            del pending[stale]
+        yield res, gt, res.index
 
 
 def cmd_playback(args) -> int:
@@ -359,6 +369,43 @@ def cmd_playback(args) -> int:
     return 0
 
 
+def cmd_accuracy(args) -> int:
+    """Metric-level accuracy benchmark: pipeline vs golden oracle deltas.
+
+    The in-environment substitute for the seq-00 evaluation (no dataset
+    available): identical adversarial synthetic scans through both engines,
+    both scored with the reference scorer, F1/IoUg deltas reported
+    (eval/accuracy.py). Writes a markdown artifact with --output.
+    """
+    from groundgrid_tpu.config import GroundGridConfig
+    from groundgrid_tpu.eval.accuracy import (
+        format_accuracy_report, run_accuracy_benchmark,
+    )
+
+    cfg = GroundGridConfig(
+        dimension=args.dimension, resolution=args.resolution,
+        max_points=args.max_points, sorted_scans=_sorted_mode(args),
+    )
+    result = run_accuracy_benchmark(
+        cfg, n_scans=args.scans, seed=args.seed, n_beams=args.beams,
+        n_azimuth=args.azimuth, step_m=args.step,
+        adversarial=not args.benign,
+        progress=lambda s: print(s, file=sys.stderr, flush=True),
+    )
+    report = format_accuracy_report(result)
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(report)
+        print(f"wrote {args.output}", file=sys.stderr, flush=True)
+    else:
+        print(report, flush=True)
+    print(json.dumps({k: result[k] for k in
+                      ("workload", "pipeline", "golden", "delta_pt",
+                       "max_abs_delta_pt", "label_mismatch_rate")}),
+          flush=True)
+    return 0 if result["max_abs_delta_pt"] < args.budget_pt else 1
+
+
 def cmd_bench(args) -> int:
     from groundgrid_tpu.runtime.bench import run_benchmark
 
@@ -400,6 +447,28 @@ def main(argv=None) -> int:
                         help="real-time pacing factor (0 = as fast as possible)")
     _add_common(p_play)
     p_play.set_defaults(func=cmd_playback)
+
+    p_acc = sub.add_parser(
+        "accuracy",
+        help="pipeline-vs-golden metric deltas on adversarial synthetic data",
+    )
+    p_acc.add_argument("--scans", type=int, default=120)
+    p_acc.add_argument("--seed", type=int, default=17)
+    p_acc.add_argument("--beams", type=int, default=64)
+    p_acc.add_argument("--azimuth", type=int, default=1800)
+    p_acc.add_argument("--step", type=float, default=1.2, help="metres per scan")
+    p_acc.add_argument("--benign", action="store_true",
+                       help="use the benign scene generator instead")
+    p_acc.add_argument("--output", default="", help="markdown artifact path")
+    p_acc.add_argument("--budget-pt", type=float, default=0.1,
+                       help="max |delta| in percentage points for exit code 0")
+    p_acc.add_argument("--dimension", type=float, default=120.0)
+    p_acc.add_argument("--resolution", type=float, default=0.33)
+    p_acc.add_argument("--max-points", type=int, default=131072)
+    p_acc.add_argument("--sorted", dest="sorted_scans", action="store_true",
+                       default=None)
+    p_acc.add_argument("--no-sorted", dest="sorted_scans", action="store_false")
+    p_acc.set_defaults(func=cmd_accuracy)
 
     p_bench = sub.add_parser("bench", help="synthetic throughput benchmark")
     p_bench.add_argument("--scans", type=int, default=64)

@@ -69,11 +69,19 @@ class _InFlight:
 
 @dataclasses.dataclass
 class TimingStats:
-    """Running averages like the reference's logs (GroundGridNodelet.cpp:205)."""
+    """Running averages like the reference's logs (GroundGridNodelet.cpp:205).
+
+    ``pipeline_depth`` tags how the per-scan ms was measured: 0 = lock-step
+    latency; >= 1 = dispatch-to-finalize latency *including pipeline
+    residency* -- NOT comparable to lock-step numbers (with depth d, a
+    scan's wall window spans ~d+1 scan intervals even when throughput is
+    higher). Recorded so downstream consumers cannot misread the figure.
+    """
 
     scans: int = 0
     total_ms: float = 0.0
     avg_ms: float = 0.0
+    pipeline_depth: int = 0
 
     def update(self, ms: float) -> None:
         self.avg_ms = (ms + self.scans * self.avg_ms) / (self.scans + 1)
@@ -348,6 +356,7 @@ class StreamingDriver:
 
         import collections
 
+        self.stats.pipeline_depth = pipeline_depth
         queue: collections.deque = collections.deque()
         for rec in records:
             rec = self._check_pose(rec)

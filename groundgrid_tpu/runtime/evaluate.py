@@ -37,8 +37,15 @@ def evaluate_records(
     """
     from groundgrid_tpu.pipeline import init_state
 
+    from groundgrid_tpu.eval.device import safe_drain_interval
+
     driver = StreamingDriver(config)
-    dev_eval = evaluator if evaluator is not None else DeviceEvaluator(sequence)
+    dev_eval = (
+        evaluator if evaluator is not None
+        else DeviceEvaluator(
+            sequence, drain_every=safe_drain_interval(config.max_points)
+        )
+    )
 
     # Timing: per-iteration spans here would measure async dispatch only (the
     # axon runtime defers execution past block_until_ready), so we report the

@@ -52,6 +52,44 @@ def test_evaluate_multi_sequence(dataset_root, capsys):
     assert set(payload["per_sequence"]) == {"00", "01"}
 
 
+@pytest.fixture(scope="module")
+def eleven_seq_root(tmp_path_factory):
+    """An 11-'sequence' dataset: the BASELINE config-3 aggregate in miniature."""
+    root = tmp_path_factory.mktemp("kitti_00_10")
+    for seq in range(11):
+        scans = [
+            (p, l, T)
+            for p, l, T in synthetic_sequence(2, seed=100 + seq, n_beams=10,
+                                              n_azimuth=180)
+        ]
+        write_sequence(root, seq, scans)
+    return str(root)
+
+
+def test_evaluate_00_10_aggregate_host_vs_device(eleven_seq_root, capsys):
+    """BASELINE config 3 path: 'evaluate --sequence 00-10' host vs on-device.
+
+    The two scoring backends (per-scan host fetch vs int32 device table with
+    int64 host drains) must agree on the aggregate confusion exactly; the
+    >2^31 half of the story is covered by
+    test_eval.py::test_device_evaluator_beyond_int32 (count injection).
+    """
+    rc = main(["evaluate", "--directory", eleven_seq_root,
+               "--sequence", "00-10"] + COMMON)
+    assert rc == 0
+    host = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert host["scans"] == 22
+    assert set(host["per_sequence"]) == {f"{s:02d}" for s in range(11)}
+
+    rc = main(["evaluate", "--directory", eleven_seq_root,
+               "--sequence", "00-10", "--on-device-eval"] + COMMON)
+    assert rc == 0
+    dev = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    for k in ("true_positive", "true_negative", "false_positive",
+              "false_negative", "gt_ground_total", "scans"):
+        assert dev[k] == host[k], (k, dev[k], host[k])
+
+
 def test_playback_with_exports(dataset_root, capsys, tmp_path):
     rc = main([
         "playback", "--directory", dataset_root, "--sequence", "00",

@@ -62,6 +62,42 @@ def test_statistics_format_smoke():
     assert "road" in text
 
 
+def test_statistics_format_golden_transcript():
+    """Byte-for-byte capture test of format_statistics (VERDICT r2 item 9).
+
+    Expected block hand-derived by executing the reference's print logic
+    (eval_groundpoint_classifier.py:135-195) on paper for a 3-label cloud:
+    gt = 10x road(40), 5x car(10), 4x vegetation(70);
+    pred(road) = 9 ground + 1 nonground, pred(car) = 1 ground + 4 nonground,
+    pred(vegetation) = 2 ground + 2 nonground.
+    => TP=9 FN=1 FP=1 TN=4 (vegetation excluded), gt_ground=10;
+    precision=recall=f1=90.00%, accuracy=13/15=86.67%, IoUg=9/11=81.82%.
+    Tab-padding quirk: the reference appends the second tab based on the
+    *already padded* length, which is equivalent to checking the original
+    length (first pad only fires when len < 8 < 15).
+    """
+    ev = Evaluator("07")
+    gt = np.array([40] * 10 + [10] * 5 + [70] * 4, np.int64)
+    pred = np.array(
+        [49] * 9 + [99] + [49] + [99] * 4 + [49] * 2 + [99] * 2, np.int32
+    )
+    ev.add_cloud(pred, gt)
+    expected = "\n".join([
+        "Stats",
+        "Received 1 point clouds. KITTI sequence 07.",
+        "label\t\t\tnonground %\tground %\tnonground\ttotal",
+        "car\t\t\t80.00%\t\t20.00%\t\t4\t\t5",
+        "road\t\t\t10.00%\t\t90.00%\t\t1\t\t10",
+        "vegetation\t\t50.00%\t\t50.00%\t\t2\t\t4",
+        "Precision\t\t90.00%\t\t9\t1",
+        "Recall\t\t\t90.00%\t\t9\t1",
+        "F1\t\t\t90.00%\t\t1\t\t1",
+        "Accuracy\t\t86.67%\t\t13\t15",
+        "IoUg\t\t\t81.82%",
+    ])
+    assert ev.format_statistics() == expected
+
+
 def test_device_evaluator_matches_host(small_config, small_scans):
     """On-device accumulation == host evaluator, count for count."""
     import jax.numpy as jnp
@@ -82,6 +118,63 @@ def test_device_evaluator_matches_host(small_config, small_scans):
     np.testing.assert_array_equal(got.false_positive, host.false_positive)
     np.testing.assert_array_equal(got.total, host.total)
     assert got.compute() == host.compute()
+
+
+def test_device_evaluator_drain_preserves_counts(small_config):
+    """Mid-run drains (int32 device -> int64 host) change nothing observable."""
+    import jax.numpy as jnp
+
+    from groundgrid_tpu.eval.device import DeviceEvaluator
+
+    rng = np.random.default_rng(11)
+    host = Evaluator("05")
+    dev = DeviceEvaluator("05", drain_every=2)  # drain every 2 clouds
+    for _ in range(7):  # odd count: final state is mid-interval
+        gt = rng.choice([0, 10, 40, 48, 50, 70, 72], size=3000).astype(np.int32)
+        pred = rng.choice([0, 49, 99], size=3000, p=[0.05, 0.7, 0.25]).astype(np.int32)
+        host.add_cloud(pred, gt)
+        dev.add_cloud_device(jnp.asarray(pred), jnp.asarray(gt))
+    got = dev.to_host()
+    np.testing.assert_array_equal(got.total, host.total)
+    np.testing.assert_array_equal(got.true_positive, host.true_positive)
+    np.testing.assert_array_equal(got.false_positive, host.false_positive)
+    np.testing.assert_array_equal(got.nonground_count, host.nonground_count)
+    # to_host is a non-destructive snapshot: counting on works
+    gt = np.full(100, 40, np.int32)
+    dev.add_cloud_device(jnp.asarray(np.full(100, 49, np.int32)), jnp.asarray(gt))
+    host.add_cloud(np.full(100, 49, np.int32), gt)
+    np.testing.assert_array_equal(dev.to_host().total, host.total)
+
+
+def test_device_evaluator_beyond_int32(small_config):
+    """Aggregate counts past 2^31 stay exact (VERDICT r2 'weak' #3).
+
+    A real >2^31 run needs ~3e9 points (sequences 00-10); here the host
+    table is pre-loaded near the cliff and the device path must carry it
+    over exactly -- the int32 device table only ever holds one drain
+    interval's worth of counts.
+    """
+    import jax.numpy as jnp
+
+    from groundgrid_tpu.eval.device import DeviceEvaluator, safe_drain_interval
+
+    dev = DeviceEvaluator("00-10", drain_every=1)
+    near = 2**31 - 1000  # within int32 range but about to overflow
+    dev.host_counts[40, 3] = near  # total[road]
+    dev.host_counts[40, 1] = near  # tp[road]
+    for _ in range(3):
+        gt = np.full(2000, 40, np.int32)
+        pred = np.full(2000, 49, np.int32)
+        dev.add_cloud_device(jnp.asarray(pred), jnp.asarray(gt))
+    got = dev.to_host()
+    assert int(got.total[40]) == near + 6000 > 2**31  # crossed the cliff
+    assert int(got.true_positive[40]) == near + 6000
+    assert got.total.dtype == np.int64
+
+    # the interval picker leaves >= 8x headroom at any max_points
+    for mp in (4096, 131072, 10**6):
+        assert safe_drain_interval(mp) * mp * 8 <= 2**31 - 1
+        assert safe_drain_interval(mp) >= 1
 
 
 def test_evaluate_records_end_to_end(small_config, small_scans):
