@@ -95,6 +95,12 @@ class GroundGridConfig:
     # becomes both-branches-execute under vmap, so batched/fleet pipelines
     # set this False only if the host guarantees sorted input).
     sorted_fallback_check: bool = True
+    # Quantized s16 wire format for ingest-bound links (pipeline.WireScan):
+    # scans ship as int16 centimetre offsets (8 B/point vs 20 B/point f32
+    # SoA, ~2.5x smaller D2H/DCN ingest) and dequantize on device. Opt-in
+    # (~5 mm lossy); requires sorted_scans (the wire prep pre-sorts by the
+    # dequantized coordinates' cell ids).
+    wire_format: bool = False
     # Degraded-mode policy for a scan whose pose is missing/non-finite: False
     # drops the scan (the nodelet's behavior when the cloud transform lookup
     # fails, GroundGridNodelet.cpp:133-136); True reuses the last good pose
@@ -126,6 +132,11 @@ class GroundGridConfig:
             raise ValueError("max_points must be positive")
         if not math.isfinite(self.resolution) or self.resolution <= 0:
             raise ValueError("resolution must be positive")
+        if self.wire_format and not self.sorted_scans:
+            raise ValueError(
+                "wire_format requires sorted_scans (the s16 wire prep "
+                "pre-sorts by the dequantized coordinates' cell ids)"
+            )
         return self
 
 

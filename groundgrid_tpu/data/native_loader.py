@@ -79,6 +79,15 @@ def load_library(auto_build: bool = True) -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.gg_loader_create_wire.restype = ctypes.c_void_p
+    lib.gg_loader_create_wire.argtypes = lib.gg_loader_create_sorted.argtypes
+    lib.gg_loader_next_wire.restype = ctypes.c_int64
+    lib.gg_loader_next_wire.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int16),
+        ctypes.POINTER(ctypes.c_int16), ctypes.POINTER(ctypes.c_int16),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+    ]
     _lib = lib
     return lib
 
@@ -191,6 +200,141 @@ class PreparedRecord:
     n_points: int
     labels: np.ndarray
     t_map_velo: np.ndarray
+
+
+class WirePrefetchingLoader:
+    """Native threaded loader emitting s16 wire-prepared scans.
+
+    The wire analog of :class:`SortedPrefetchingLoader`: workers quantize
+    each scan to the s16 centimetre wire format and stable-sort by the
+    dequantized coordinates' cell ids (``pipeline.prepare_scan_wire``
+    semantics, bit-identical -- verified by tests/test_native_loader.py).
+    Yields :class:`PreparedRecord` whose ``scan`` is a
+    :class:`~groundgrid_tpu.pipeline.WireScan`; consume with a
+    ``config.wire_format`` pipeline. Falls back to the NumPy wire prep when
+    the native library is unavailable.
+    """
+
+    def __init__(self, dataset: SemanticKITTI, config, n_threads: int = 4,
+                 queue_depth: int = 8):
+        from groundgrid_tpu.pipeline import CenterTracker
+
+        if not getattr(config, "wire_format", False):
+            raise ValueError("WirePrefetchingLoader needs config.wire_format")
+        self.ds = dataset
+        self.config = config
+        cap = config.max_points
+        self.cap = cap
+        n = len(dataset)
+        self._poses = np.ascontiguousarray(
+            np.stack([np.asarray(dataset.poses[i], np.float64) for i in range(n)])
+        )
+        centers = np.empty((n, 2), np.float32)
+        tracker = None
+        for i in range(n):
+            pos = self._poses[i, :2, 3].astype(np.float32)
+            if tracker is None:
+                tracker = CenterTracker(config, pos)
+            centers[i] = tracker.update(pos)
+        self._centers = np.ascontiguousarray(centers)
+
+        self._lib = load_library()
+        self._handle = None
+        if self._lib is not None and n > 0:
+            self._handle = ctypes.c_void_p(
+                self._lib.gg_loader_create_wire(
+                    self.ds.root.encode(), n, cap, n_threads, queue_depth,
+                    self._poses.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                    self._centers.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    ctypes.c_float(config.resolution),
+                    ctypes.c_float(config.half_length),
+                    config.cell_count,
+                )
+            )
+        self._qx = np.empty((cap,), np.int16)
+        self._qy = np.empty((cap,), np.int16)
+        self._qz = np.empty((cap,), np.int16)
+        self._lab = np.empty((cap,), np.int16)
+        self._order = np.empty((cap,), np.int32)
+        self._fallback_start = 0
+
+    @property
+    def native(self) -> bool:
+        return self._handle is not None
+
+    def seek(self, index: int) -> None:
+        if self._handle is not None:
+            self._lib.gg_loader_seek(self._handle, index)
+        self._fallback_start = index
+
+    def __iter__(self):
+        import jax.numpy as jnp
+
+        from groundgrid_tpu.core import transforms as tf
+        from groundgrid_tpu.pipeline import WireScan, prepare_scan_wire
+
+        cfg = self.config
+        if self._handle is None:
+            for idx in range(self._fallback_start, len(self.ds)):
+                rec = self.ds.read_scan(idx)
+                w, order = prepare_scan_wire(
+                    cfg, rec.points[:, :3], rec.labels, rec.t_map_velo,
+                    self._centers[idx],
+                )
+                count = min(rec.points.shape[0], self.cap)
+                yield PreparedRecord(
+                    index=idx, timestamp=rec.timestamp, scan=w, order=order,
+                    n_points=count, labels=rec.labels[:count],
+                    t_map_velo=self._poses[idx],
+                )
+            return
+        count = ctypes.c_int32(0)
+        while True:
+            idx = self._lib.gg_loader_next_wire(
+                self._handle,
+                self._qx.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                self._qy.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                self._qz.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                self._lab.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                self._order.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                ctypes.byref(count),
+            )
+            if idx < 0:
+                if idx == -2:
+                    raise IOError("native loader failed to read a scan")
+                return
+            idx = int(idx)
+            c = min(int(count.value), self.cap)
+            order = self._order.copy()
+            mv, mb, bm = tf.scan_poses(self._poses[idx])
+            w = WireScan(
+                qx=jnp.asarray(self._qx.copy()), qy=jnp.asarray(self._qy.copy()),
+                qz=jnp.asarray(self._qz.copy()),
+                rings=jnp.asarray(self._lab.copy()),
+                count=jnp.asarray(np.int32(c)),
+                t_map_velo=jnp.asarray(np.asarray(mv, np.float32)),
+                t_map_base=jnp.asarray(np.asarray(mb, np.float32)),
+                t_base_map=jnp.asarray(np.asarray(bm, np.float32)),
+                center=jnp.asarray(self._centers[idx]),
+            )
+            restored = np.empty((self.cap,), np.int32)
+            restored[order] = self._lab.astype(np.int32)
+            yield PreparedRecord(
+                index=idx, timestamp=float(self.ds.times[idx]),
+                scan=w, order=order, n_points=c,
+                labels=restored[:c], t_map_velo=self._poses[idx],
+            )
+
+    def close(self) -> None:
+        if self._handle is not None:
+            self._lib.gg_loader_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 class SortedPrefetchingLoader:

@@ -18,6 +18,7 @@ executable, cached by XLA.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import math
 from typing import NamedTuple
@@ -285,11 +286,20 @@ def make_step(config: GroundGridConfig, with_aux: bool = False, _salt: int = 0):
     """Build the jitted per-scan step for ``config``.
 
     Returns ``step(state, scan) -> (state', StepOutput[, AuxLayers])``.
+    With ``config.wire_format`` the step consumes a :class:`WireScan`
+    (device-side dequantization is traced into the same executable).
     The grid state buffers are donated, so steady-state streaming does not
     reallocate the (N, N) layers. Cached per (config, with_aux) so multiple
     drivers share one compiled executable.
     """
-    return jax.jit(make_step_fn(config, with_aux, _salt), donate_argnums=(0,))
+    fn = make_step_fn(config, with_aux, _salt)
+    if config.wire_format:
+        inner = fn
+
+        def fn(state: GridState, w: WireScan):
+            return inner(state, dequantize_scan(config, w))
+
+    return jax.jit(fn, donate_argnums=(0,))
 
 
 def compile_step_verified(
@@ -554,17 +564,17 @@ def dequantize_scan(config: GroundGridConfig, w: WireScan) -> Scan:
     )
 
 
-@functools.lru_cache(maxsize=32)
 def make_wire_step(config: GroundGridConfig, with_aux: bool = False):
-    """Jitted per-scan step consuming :class:`WireScan` (sorted-scan mode)."""
+    """Jitted per-scan step consuming :class:`WireScan` (sorted-scan mode).
+
+    Equivalent to ``make_step`` with ``config.wire_format=True`` (kept as the
+    named entry point for wire consumers).
+    """
     if not config.sorted_scans:
         raise ValueError("the wire format requires config.sorted_scans")
-    inner = make_step_fn(config, with_aux)
-
-    def step(state: GridState, w: WireScan):
-        return inner(state, dequantize_scan(config, w))
-
-    return jax.jit(step, donate_argnums=(0,))
+    if not config.wire_format:
+        config = dataclasses.replace(config, wire_format=True)
+    return make_step(config, with_aux)
 
 
 def prepare_scan_wire(

@@ -194,6 +194,15 @@ class StreamingDriver:
             if self._tracker is None:
                 self._tracker = CenterTracker(cfg, pos)
             center = self._tracker.update(pos)  # idempotent for a re-sent pose
+            if cfg.wire_format:
+                from groundgrid_tpu.pipeline import prepare_scan_wire
+
+                wire, order = prepare_scan_wire(
+                    cfg, rec.points[:, :3], rec.labels, rec.t_map_velo,
+                    center, t_map_base=mb, t_base_map=bm,
+                )
+                self._last_order = order
+                return wire
             scan, order = prepare_scan(
                 cfg, rec.points[:, :3], rec.labels, rec.t_map_velo, center,
                 t_map_base=mb, t_base_map=bm,

@@ -39,6 +39,9 @@ struct Slot {
   std::vector<float> sx, sy, sz;
   std::vector<int32_t> slabels;
   std::vector<int32_t> order;
+  // wire preparation outputs (wire mode): s16 centimetre offsets + s16
+  // labels, cell-sorted by the DEQUANTIZED coordinates
+  std::vector<int16_t> qx, qy, qz, qlabels;
 };
 
 // Sorted-scan preparation parameters (gg_loader_create_sorted): the per-scan
@@ -50,6 +53,7 @@ struct Slot {
 // compiler cannot fuse these into FMAs the device won't perform.
 struct Prep {
   bool enabled = false;
+  bool wire = false;           // s16 wire prep instead of f32 sorted prep
   std::vector<double> poses;   // n_scans * 16, row-major map<-velo
   std::vector<float> centers;  // n_scans * 2
   float inv_res = 0.0f;
@@ -128,6 +132,72 @@ void prep_scan(const Loader& L, int64_t idx, Slot& s) {
   }
 }
 
+// s16 wire preparation (pipeline.prepare_scan_wire in C++): quantize to
+// int16 centimetres relative to (center_x, center_y, origin_z), then bin and
+// stable-sort by the cell ids of the *dequantized* f32 coordinates (exactly
+// what the device will reconstruct), so the device-side sortedness check
+// passes. Bit-exact with the numpy prep: double transform -> float cast,
+// (v - ref) * 100.0f under FE_TONEAREST nearbyintf (numpy np.rint is also
+// round-half-even), dequant as q * 0.01f + ref with -ffp-contract=off.
+void prep_scan_wire(const Loader& L, int64_t idx, Slot& s) {
+  const double* T = L.prep.poses.data() + (size_t)idx * 16;
+  const float ref0 = L.prep.centers[2 * idx];
+  const float ref1 = L.prep.centers[2 * idx + 1];
+  const float ref2 = (float)T[11];  // origin z (t_map_velo[2,3]) as f32
+  const float c0h = ref0 + L.prep.half;
+  const float c1h = ref1 + L.prep.half;
+  const float inv_res = L.prep.inv_res;
+  const int32_t n = L.prep.n;
+  const int64_t n2 = (int64_t)n * n;
+  const int32_t cap = L.cap;
+  const int32_t count = s.count;
+
+  std::vector<int16_t> wx(cap, 0), wy(cap, 0), wz(cap, 0);
+  std::vector<int32_t> cells(cap, (int32_t)n2);
+  for (int32_t i = 0; i < count; ++i) {
+    const double x = s.points[(size_t)i * 4 + 0];
+    const double y = s.points[(size_t)i * 4 + 1];
+    const double z = s.points[(size_t)i * 4 + 2];
+    const float xf = (float)(T[0] * x + T[1] * y + T[2] * z + T[3]);
+    const float yf = (float)(T[4] * x + T[5] * y + T[6] * z + T[7]);
+    const float zf = (float)(T[8] * x + T[9] * y + T[10] * z + T[11]);
+    float q0 = std::nearbyintf((xf - ref0) * 100.0f);
+    float q1 = std::nearbyintf((yf - ref1) * 100.0f);
+    float q2 = std::nearbyintf((zf - ref2) * 100.0f);
+    q0 = q0 < -32768.0f ? -32768.0f : (q0 > 32767.0f ? 32767.0f : q0);
+    q1 = q1 < -32768.0f ? -32768.0f : (q1 > 32767.0f ? 32767.0f : q1);
+    q2 = q2 < -32768.0f ? -32768.0f : (q2 > 32767.0f ? 32767.0f : q2);
+    wx[i] = (int16_t)q0;
+    wy[i] = (int16_t)q1;
+    wz[i] = (int16_t)q2;
+    // bin the dequantized coordinates -- what the device reconstructs
+    const float dqx = (float)wx[i] * 0.01f + ref0;
+    const float dqy = (float)wy[i] * 0.01f + ref1;
+    const float g0 = std::floor((c0h - dqx) * inv_res);
+    const float g1 = std::floor((c1h - dqy) * inv_res);
+    if (g0 >= 0.0f && g0 < (float)n && g1 >= 0.0f && g1 < (float)n)
+      cells[i] = (int32_t)g0 * n + (int32_t)g1;
+  }
+
+  std::vector<int32_t> cnt((size_t)n2 + 2, 0);
+  for (int32_t i = 0; i < cap; ++i) cnt[(size_t)cells[i] + 1]++;
+  for (size_t c = 1; c < cnt.size(); ++c) cnt[c] += cnt[c - 1];
+
+  s.qx.assign(cap, 0);
+  s.qy.assign(cap, 0);
+  s.qz.assign(cap, 0);
+  s.qlabels.assign(cap, 0);
+  s.order.assign(cap, 0);
+  for (int32_t i = 0; i < cap; ++i) {
+    const int32_t pos = cnt[cells[i]]++;
+    s.qx[pos] = wx[i];
+    s.qy[pos] = wy[i];
+    s.qz[pos] = wz[i];
+    s.qlabels[pos] = (int16_t)s.labels[i];
+    s.order[pos] = i;
+  }
+}
+
 bool read_scan_files(const Loader& L, int64_t idx, Slot& slot) {
   char name[64];
   std::snprintf(name, sizeof(name), "%06lld.bin", (long long)idx);
@@ -187,7 +257,12 @@ void worker_main(Loader* L) {
     slot.index = idx;
     slot.generation = gen;
     read_scan_files(*L, idx, slot);
-    if (slot.status == 0 && L->prep.enabled) prep_scan(*L, idx, slot);
+    if (slot.status == 0 && L->prep.enabled) {
+      if (L->prep.wire)
+        prep_scan_wire(*L, idx, slot);
+      else
+        prep_scan(*L, idx, slot);
+    }
     {
       std::unique_lock<std::mutex> lock(L->mu);
       // a seek() may have repositioned the stream while this read was in
@@ -228,11 +303,12 @@ void* gg_loader_create(const char* sequence_root, int64_t n_scans,
 // stable-sort by flat cell id (config.sorted_scans host preparation).
 // poses: n_scans x 16 doubles (row-major map<-velo); centers: n_scans x 2
 // f32 (pipeline.CenterTracker outputs).
-void* gg_loader_create_sorted(const char* sequence_root, int64_t n_scans,
-                              int32_t cap, int32_t n_threads,
-                              int32_t queue_depth, const double* poses,
-                              const float* centers, float resolution,
-                              float half_length, int32_t n_cells) {
+static void* create_prep_loader(const char* sequence_root, int64_t n_scans,
+                                int32_t cap, int32_t n_threads,
+                                int32_t queue_depth, const double* poses,
+                                const float* centers, float resolution,
+                                float half_length, int32_t n_cells,
+                                bool wire) {
   auto* L = new Loader();
   L->velodyne_dir = std::string(sequence_root) + "/velodyne";
   L->labels_dir = std::string(sequence_root) + "/labels";
@@ -240,6 +316,7 @@ void* gg_loader_create_sorted(const char* sequence_root, int64_t n_scans,
   L->n_scans = n_scans;
   L->max_queue = queue_depth > 0 ? (size_t)queue_depth : 8;
   L->prep.enabled = true;
+  L->prep.wire = wire;  // set BEFORE workers start (they prefetch eagerly)
   L->prep.poses.assign(poses, poses + (size_t)n_scans * 16);
   L->prep.centers.assign(centers, centers + (size_t)n_scans * 2);
   L->prep.inv_res = 1.0f / resolution;
@@ -248,6 +325,62 @@ void* gg_loader_create_sorted(const char* sequence_root, int64_t n_scans,
   int32_t nt = n_threads > 0 ? n_threads : 2;
   for (int32_t i = 0; i < nt; ++i) L->workers.emplace_back(worker_main, L);
   return L;
+}
+
+void* gg_loader_create_sorted(const char* sequence_root, int64_t n_scans,
+                              int32_t cap, int32_t n_threads,
+                              int32_t queue_depth, const double* poses,
+                              const float* centers, float resolution,
+                              float half_length, int32_t n_cells) {
+  return create_prep_loader(sequence_root, n_scans, cap, n_threads,
+                            queue_depth, poses, centers, resolution,
+                            half_length, n_cells, /*wire=*/false);
+}
+
+// Wire-prep variant of gg_loader_create_sorted: workers quantize each scan
+// to the s16 wire format (pipeline.prepare_scan_wire semantics) and
+// stable-sort by the dequantized coordinates' cell ids.
+void* gg_loader_create_wire(const char* sequence_root, int64_t n_scans,
+                            int32_t cap, int32_t n_threads,
+                            int32_t queue_depth, const double* poses,
+                            const float* centers, float resolution,
+                            float half_length, int32_t n_cells) {
+  return create_prep_loader(sequence_root, n_scans, cap, n_threads,
+                            queue_depth, poses, centers, resolution,
+                            half_length, n_cells, /*wire=*/true);
+}
+
+// Blocking: fetch the next *wire-prepared* scan (s16 quantized SoA + the
+// applied permutation). Same return convention as gg_loader_next.
+int64_t gg_loader_next_wire(void* handle, int16_t* out_qx, int16_t* out_qy,
+                            int16_t* out_qz, int16_t* out_labels,
+                            int32_t* out_order, int32_t* out_count) {
+  auto* L = static_cast<Loader*>(handle);
+  if (!L->prep.enabled || !L->prep.wire) return -3;
+  std::unique_lock<std::mutex> lock(L->mu);
+  int64_t want = L->next_to_emit;
+  if (want >= L->n_scans) return -1;
+  for (;;) {
+    for (size_t i = 0; i < L->done.size(); ++i) {
+      if (L->done[i].index == want) {
+        Slot slot = std::move(L->done[i]);
+        L->done.erase(L->done.begin() + i);
+        L->next_to_emit++;
+        lock.unlock();
+        L->cv_space.notify_all();
+        if (slot.status != 0) return -2;
+        const size_t cap = (size_t)L->cap;
+        std::memcpy(out_qx, slot.qx.data(), cap * sizeof(int16_t));
+        std::memcpy(out_qy, slot.qy.data(), cap * sizeof(int16_t));
+        std::memcpy(out_qz, slot.qz.data(), cap * sizeof(int16_t));
+        std::memcpy(out_labels, slot.qlabels.data(), cap * sizeof(int16_t));
+        std::memcpy(out_order, slot.order.data(), cap * sizeof(int32_t));
+        *out_count = slot.count;
+        return slot.index;
+      }
+    }
+    L->cv_ready.wait(lock);
+  }
 }
 
 // Blocking: fetch the next *prepared* scan (sorted SoA map-frame arrays +

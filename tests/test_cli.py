@@ -52,6 +52,29 @@ def test_evaluate_multi_sequence(dataset_root, capsys):
     assert set(payload["per_sequence"]) == {"00", "01"}
 
 
+def test_evaluate_wire_flag(dataset_root, capsys):
+    """--wire (s16 quantized ingest) stays within quantization noise of f32."""
+    rc = main(["evaluate", "--directory", dataset_root, "--sequence", "00"]
+              + COMMON)
+    assert rc == 0
+    base = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    rc = main(["evaluate", "--directory", dataset_root, "--sequence", "00",
+               "--wire"] + COMMON)
+    assert rc == 0
+    wire = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert wire["scans"] == base["scans"]
+    for k in ("precision", "recall", "f1", "ioug"):
+        assert abs(wire[k] - base[k]) < 0.01, (k, wire[k], base[k])
+
+
+def test_playback_wire_flag(dataset_root, capsys):
+    rc = main(["playback", "--directory", dataset_root, "--sequence", "00",
+               "--wire"] + COMMON)
+    assert rc == 0
+    assert "scan 0:" in capsys.readouterr().out
+
+
 @pytest.fixture(scope="module")
 def eleven_seq_root(tmp_path_factory):
     """An 11-'sequence' dataset: the BASELINE config-3 aggregate in miniature."""

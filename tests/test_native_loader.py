@@ -58,6 +58,49 @@ def test_truncation_to_cap(dataset):
     loader.close()
 
 
+def test_wire_loader_matches_python_prep(tmp_path):
+    """Native C++ s16 wire prep == pipeline.prepare_scan_wire, bit for bit."""
+    from groundgrid_tpu.config import GroundGridConfig
+    from groundgrid_tpu.data.native_loader import WirePrefetchingLoader
+    from groundgrid_tpu.data.semantickitti import SemanticKITTI, write_sequence
+    from groundgrid_tpu.data.synthetic import adversarial_sequence
+    from groundgrid_tpu.pipeline import CenterTracker, prepare_scan_wire
+
+    scans = list(adversarial_sequence(3, seed=5, n_beams=12, n_azimuth=300))
+    write_sequence(tmp_path, 0, [(p, l, T) for p, l, T in scans])
+    ds = SemanticKITTI(tmp_path, 0)
+    cfg = GroundGridConfig(
+        dimension=24.0, resolution=0.5, max_points=4096, ray_steps=28,
+        max_outlier_candidates=256, sorted_scans=True, wire_format=True,
+    )
+
+    loader = WirePrefetchingLoader(ds, cfg, n_threads=2, queue_depth=2)
+    got = list(loader)
+    loader.close()
+    assert len(got) == 3
+
+    tracker = None
+    for prep_rec, rec in zip(got, ds.iter_scans()):
+        pos = rec.t_map_velo[:2, 3].astype(np.float32)
+        if tracker is None:
+            tracker = CenterTracker(cfg, pos)
+        center = tracker.update(pos)
+        want, want_order = prepare_scan_wire(
+            cfg, rec.points[:, :3], rec.labels, rec.t_map_velo, center
+        )
+        if loader.native:
+            np.testing.assert_array_equal(prep_rec.order, want_order)
+            for field in ("qx", "qy", "qz", "rings", "count", "center"):
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(prep_rec.scan, field)),
+                    np.asarray(getattr(want, field)),
+                    err_msg=field,
+                )
+        np.testing.assert_array_equal(prep_rec.labels, rec.labels[: cfg.max_points])
+        # the wire payload per point is s16 x 4 = 8 bytes
+        assert np.asarray(prep_rec.scan.qx).dtype == np.int16
+
+
 def test_sorted_loader_matches_python_prep(tmp_path):
     """Native C++ prep == pipeline.prepare_scan, bit for bit."""
     import dataclasses
