@@ -304,7 +304,8 @@ def cmd_playback(args) -> int:
               "(in-flight scans make the checkpointed state run ahead of "
               "the stream position)", file=sys.stderr)
         return 2
-    want_aux = bool(args.export_layers or args.export_terrain or args.export_html)
+    want_aux = bool(args.export_layers or args.export_terrain
+                    or args.export_html or args.serve is not None)
     cfg = _config(args)
     driver = StreamingDriver(cfg, with_aux=want_aux)
     recorder = None
@@ -312,6 +313,13 @@ def cmd_playback(args) -> int:
         from groundgrid_tpu.runtime.viz import SequenceRecorder
 
         recorder = SequenceRecorder(max_frames=args.html_max_frames)
+    live = None
+    if args.serve is not None:
+        from groundgrid_tpu.runtime.live import LiveServer
+
+        live = LiveServer(port=args.serve).start()
+        print(f"live viewer at {live.url} (follow mode; space pauses)",
+              file=sys.stderr, flush=True)
     resume_index = None
     resumed = _load_resume(args, cfg)
     if resumed is not None:
@@ -351,17 +359,20 @@ def cmd_playback(args) -> int:
                 args.export_terrain, res.aux["ground"], res.aux["points_raw"],
                 res.index, float(center[0]), float(center[1]),
             )
-        if recorder is not None and res.index % args.html_every == 0:
+        if (recorder is not None or live is not None) and res.index % args.html_every == 0:
             import numpy as np
 
             center = np.asarray(driver.state.center)
-            recorder.add(
-                res.x, res.y, res.labels, center,
-                caption=(f"scan {res.index}  "
-                         f"ground={int((res.labels == 49).sum())} "
-                         f"nonground={int((res.labels == 99).sum())}"),
-                layer=res.aux["ground"] if res.aux else None,
-            )
+            caption = (f"scan {res.index}  "
+                       f"ground={int((res.labels == 49).sum())} "
+                       f"nonground={int((res.labels == 99).sum())}")
+            layer = res.aux["ground"] if res.aux else None
+            if recorder is not None:
+                recorder.add(res.x, res.y, res.labels, center,
+                             caption=caption, layer=layer)
+            if live is not None:
+                live.add(res.x, res.y, res.labels, center,
+                         caption=caption, layer=layer)
         if (args.checkpoint and args.checkpoint_every > 0
                 and (res.index + 1) % args.checkpoint_every == 0):
             save_state(args.checkpoint, driver.state, res.index + 1, cfg)
@@ -372,6 +383,20 @@ def cmd_playback(args) -> int:
         )
         note = f" ({recorder.dropped} frames past capacity dropped)" if recorder.dropped else ""
         print(f"wrote {len(recorder.frames)}-frame player to {out}{note}", flush=True)
+    if live is not None:
+        live.finish()
+        if args.serve_linger != 0:
+            print(f"sequence done; live viewer stays at {live.url} "
+                  f"(Ctrl-C to exit)", file=sys.stderr, flush=True)
+            try:
+                if args.serve_linger < 0:
+                    while True:
+                        time.sleep(3600)
+                else:
+                    time.sleep(args.serve_linger)
+            except KeyboardInterrupt:
+                pass
+        live.stop()
     return 0
 
 
@@ -449,6 +474,15 @@ def main(argv=None) -> int:
     p_play.add_argument("--html-every", type=int, default=5,
                         help="record every Nth scan into the HTML player")
     p_play.add_argument("--html-max-frames", type=int, default=400)
+    p_play.add_argument("--serve", type=int, default=None, metavar="PORT",
+                        help="serve a LIVE browser viewer of the running "
+                             "sequence on this port (0 = ephemeral; every "
+                             "--html-every scans; the RViz live-view "
+                             "substitute)")
+    p_play.add_argument("--serve-linger", type=int, default=-1,
+                        help="seconds to keep the live viewer up after the "
+                             "sequence ends (-1 = until Ctrl-C, 0 = exit "
+                             "immediately)")
     p_play.add_argument("--rate", type=float, default=0.0,
                         help="real-time pacing factor (0 = as fast as possible)")
     _add_common(p_play)

@@ -163,6 +163,69 @@ def test_playback_export_html(dataset_root, capsys, tmp_path):
     assert "groundgrid-tpu seq 00" in html
 
 
+def test_live_server_follow_protocol():
+    """LiveServer append/follow protocol: late join, incremental fetch, done."""
+    import json as _json
+    import urllib.request
+
+    from groundgrid_tpu.runtime.live import LiveServer
+
+    live = LiveServer(port=0, keep=3, size=64).start()  # port 0: ephemeral
+    try:
+        base = live.url
+
+        def get(path):
+            with urllib.request.urlopen(base.rstrip("/") + path, timeout=5) as r:
+                return _json.loads(r.read())
+
+        assert get("/status") == {"total": 0, "done": False}
+        rng = np.random.default_rng(0)
+        for k in range(5):
+            live.add(rng.uniform(-10, 10, 50), rng.uniform(-10, 10, 50),
+                     np.full(50, 49, np.int32), np.zeros(2), caption=f"s{k}")
+        # late joiner: ring kept only the last 3 frames
+        d = get("/frames?since=0")
+        assert d["next"] == 5 and d["start"] == 2
+        assert len(d["frames"]) == 3 and d["captions"] == ["s2", "s3", "s4"]
+        assert d["frames"][0].startswith("data:image/png;base64,")
+        # incremental fetch: nothing new
+        d = get("/frames?since=5")
+        assert d["frames"] == [] and d["next"] == 5
+        live.finish()
+        assert get("/status")["done"] is True
+        # the player page is served
+        with urllib.request.urlopen(base, timeout=5) as r:
+            assert b"groundgrid-tpu live" in r.read()
+    finally:
+        live.stop()
+
+
+def test_playback_serve_live(dataset_root, capsys):
+    """--serve drives the live viewer during a real playback run."""
+    import threading
+    import urllib.request
+
+    from groundgrid_tpu.runtime import live as livemod
+
+    seen = {}
+    orig_start = livemod.LiveServer.start
+
+    def spy_start(self):
+        seen["server"] = self
+        return orig_start(self)
+
+    livemod.LiveServer.start = spy_start
+    try:
+        rc = main(["playback", "--directory", dataset_root, "--sequence", "00",
+                   "--serve", "0", "--serve-linger", "0", "--html-every", "1"]
+                  + COMMON)
+    finally:
+        livemod.LiveServer.start = orig_start
+    assert rc == 0
+    assert seen["server"]._total == 2  # both scans published
+    assert seen["server"]._done
+
+
 def test_sequence_recorder_capacity():
     from groundgrid_tpu.runtime.viz import SequenceRecorder
 
