@@ -166,7 +166,8 @@ def spatial_sharding(mesh: Mesh, axis: str = "space") -> NamedSharding:
 
 
 def make_spatial_step(config: GroundGridConfig, mesh: Mesh, axis: str = "space",
-                      with_scan_center: bool = False):
+                      with_scan_center: bool = False,
+                      spiral_mode: str = "replicated"):
     """Full per-scan step with the compute spatially sharded over ``axis``.
 
     The multi-chip strategy for ONE grid too heavy for one chip (SURVEY.md
@@ -178,8 +179,13 @@ def make_spatial_step(config: GroundGridConfig, mesh: Mesh, axis: str = "space",
         with an ICI ``psum``/``pmin``;
       * the detect stencil runs row-sharded (existing ``_detect_block``; the
         halo comes for free from the psum-replicated raster layers);
-      * grid relocation and the sequential spiral run replicated (cheap /
-        inherently global); per-shard state keeps only this shard's rows.
+      * grid relocation runs replicated (cheap / inherently global);
+        per-shard state keeps only this shard's rows;
+      * the sequential spiral runs replicated by default, or as the exact
+        annular-band relay with ``spiral_mode="banded"`` (1/S of the sweep's
+        compute per chip, one boundary-ring ppermute per shard handoff --
+        parallel/spiral_shard.py; bit-identical to the single-chip XLA
+        sweep, Amdahl-bound in wall time as documented there).
 
     Returns ``step(g_rows, c_rows, center, scan) -> (g_rows', c_rows',
     center', labels, outlier)`` jitted over the mesh: ``g_rows``/``c_rows``
@@ -214,7 +220,12 @@ def make_spatial_step(config: GroundGridConfig, mesh: Mesh, axis: str = "space",
     use_pallas = config.use_pallas
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
-    if use_pallas:
+    if spiral_mode == "banded":
+        from groundgrid_tpu.parallel.spiral_shard import banded_spiral
+
+        banded_fn = banded_spiral(config, axis, n_shards)
+        spiral_fn = lambda cfg, g, c, z: banded_fn(g, c, z)
+    elif use_pallas:
         from groundgrid_tpu.ops.pallas_spiral import spiral_interpolation_pallas as spiral_fn
     else:
         spiral_fn = interplib.spiral_interpolation

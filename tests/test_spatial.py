@@ -56,6 +56,53 @@ def test_indivisible_grid_rejected(cfg):
         make_sharded_detect(bad, mesh)
 
 
+def test_spatial_step_banded_spiral_exact(small_config):
+    """spiral_mode='banded' == spiral_mode='replicated' across a real step.
+
+    The two spatial variants run the identical XLA ring sweep (one banded
+    over the mesh with ppermute handoffs, one replicated per chip), so the
+    full step outputs must agree bitwise.
+    """
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from groundgrid_tpu.data.synthetic import adversarial_sequence
+    from groundgrid_tpu.parallel.spatial import make_spatial_step, spatial_sharding
+
+    cfg = small_config
+    mesh = Mesh(np.array(jax.devices()), ("space",))
+    step_r = make_spatial_step(cfg, mesh, spiral_mode="replicated")
+    step_b = make_spatial_step(cfg, mesh, spiral_mode="banded")
+    grid_sh = spatial_sharding(mesh)
+    pt_sh = NamedSharding(mesh, P("space"))
+    rep_sh = NamedSharding(mesh, P())
+
+    from groundgrid_tpu.pipeline import init_state, pad_scan
+
+    sr = sb = None
+    for pts, lbl, T in adversarial_sequence(2, seed=9, n_beams=16, n_azimuth=500):
+        scan = pad_scan(cfg, pts, lbl, T)
+        if sr is None:
+            st = init_state(cfg, np.asarray(T, np.float32))
+            put = lambda a, sh: jax.device_put(np.asarray(a), sh)
+            sr = [put(st.ground, grid_sh), put(st.groundpatch, grid_sh),
+                  put(st.center, rep_sh)]
+            sb = [put(st.ground, grid_sh), put(st.groundpatch, grid_sh),
+                  put(st.center, rep_sh)]
+        sharded_scan = jax.tree.map(
+            lambda a: jax.device_put(
+                np.asarray(a), pt_sh if np.asarray(a).ndim == 1 else rep_sh
+            ),
+            scan,
+        )
+        *sr, lab_r, out_r = step_r(sr[0], sr[1], sr[2], sharded_scan)
+        *sb, lab_b, out_b = step_b(sb[0], sb[1], sb[2], sharded_scan)
+        np.testing.assert_array_equal(np.asarray(sr[0]), np.asarray(sb[0]))
+        np.testing.assert_array_equal(np.asarray(sr[1]), np.asarray(sb[1]))
+        np.testing.assert_array_equal(np.asarray(lab_r), np.asarray(lab_b))
+        np.testing.assert_array_equal(np.asarray(out_r), np.asarray(out_b))
+
+
 def test_spatial_step_matches_single_chip(small_config):
     """Full spatially-sharded step == single-chip step over multiple scans."""
     import jax
