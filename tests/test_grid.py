@@ -68,6 +68,53 @@ def test_move_shifts_content_and_fills_exposed(small_config):
     np.testing.assert_allclose(np.asarray(st2.center), [dx, 0.0], atol=1e-6)
 
 
+def test_move_damage_fill_pitched_rolled_pose(small_config):
+    """Damage fill with a non-identity rotation (VERDICT r2 item 7).
+
+    The exposed-cell fill is ``ground := -z_base(cell)`` where z_base is the
+    z of the map point (x, y, 0) in the base frame (GroundGrid.cpp:121-133):
+    with a pitched+rolled base pose the fill becomes a tilted plane
+    R[2,0]x + R[2,1]y + t[2] -- verified cell by cell against an independent
+    float64 evaluation of the full 4x4 transform.
+    """
+    cfg = small_config
+    n = cfg.cell_count
+    st = gridlib.create(cfg, (0.0, 0.0), 0.0)
+
+    # base pose: pitched 8 deg, rolled -5 deg, yawed 30 deg, offset (4, 2, 1.7)
+    pitch, roll, yaw = np.deg2rad(8.0), np.deg2rad(-5.0), np.deg2rad(30.0)
+    cz, sz = np.cos(yaw), np.sin(yaw)
+    cy, sy = np.cos(pitch), np.sin(pitch)
+    cx, sx = np.cos(roll), np.sin(roll)
+    Rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1.0]])
+    Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    Rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+    t_map_base = np.eye(4)
+    t_map_base[:3, :3] = Rz @ Ry @ Rx
+    t_map_base[:3, 3] = (4.0, 2.0, 1.7)
+    t_base_map = tf.invert_rigid(t_map_base).astype(np.float32)
+
+    shift = 4
+    dx = shift * cfg.resolution
+    st2 = gridlib.move(cfg, st, (dx, 0.0), t_base_map)
+
+    g = np.asarray(st2.ground)
+    half = cfg.half_length
+    for i in range(shift):  # exposed rows
+        for j in (0, n // 2, n - 1):
+            # cell-center map position (grid_map convention, new center)
+            x = dx + half - (i + 0.5) * cfg.resolution
+            y = 0.0 + half - (j + 0.5) * cfg.resolution
+            zb = float(
+                (np.asarray(t_base_map, np.float64) @ [x, y, 0.0, 1.0])[2]
+            )
+            assert abs(g[i, j] - (-zb)) < 1e-4, (i, j, g[i, j], -zb)
+    # the fill is a genuinely tilted plane (rotation matters)
+    assert abs(g[0, 0] - g[0, n - 1]) > 0.1
+    # unexposed content untouched
+    np.testing.assert_array_equal(g[shift:, :], np.zeros((n - shift, n)))
+
+
 def test_move_center_snaps_to_lattice(small_config):
     cfg = small_config
     st = gridlib.create(cfg, (0.0, 0.0), 0.0)
