@@ -70,13 +70,16 @@ class GroundGridConfig:
     # candidates into a fixed-size buffer, keeping the DEEPEST-below-terrain
     # ones on overflow (core/outliers.py) -- the rest are treated as
     # non-outliers (i.e. kept as regular points). Warm-scan candidate counts
-    # reach ~1000 at the default geometry (tests/test_full_geometry.py), so
-    # 2048 keeps ~2x headroom; the march's serial table gather scales with
-    # this (~0.16 ms per 1024 candidates at 93 steps on a v5e). Cold-start
+    # reach ~1000 at the default geometry on benign scenes
+    # (tests/test_full_geometry.py) but ~2600+ in occlusion storms (bridge
+    # underpasses + sub-surface reflections, the round-3 adversarial
+    # benchmark), so 4096 keeps headroom for both; the march cost is
+    # adaptive (half-size buffer via lax.cond on warm scans), so the larger
+    # cap prices in only when candidates actually exceed 2048. Cold-start
     # scans (fresh grid, everything "below" the sensor-height init) overflow
     # by design and harmlessly: the confidence map is all-zero, so no march
     # can fire anywhere.
-    max_outlier_candidates: int = 2048
+    max_outlier_candidates: int = 4096
     # Reproduce the reference's "drop points within 3 cells of the max-index
     # border" quirk (GroundSegmentation.cpp:167-168).
     border_drop: bool = True

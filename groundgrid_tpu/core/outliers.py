@@ -30,6 +30,8 @@ Design notes:
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -284,18 +286,28 @@ def detect_outliers(
             hit_k = hit_near
         return jnp.zeros((x.shape[0],), jnp.int32).at[pidx].max(hit_k)
 
-    # Adaptive march size: warm scans have <~1024 candidates (the full
-    # buffer exists for cold starts and damage-heavy scans), so a lax.cond
-    # runs the half-size march whenever the candidates fit in it --
-    # identical results (the extra buffer rows are inactive padding) at half
-    # the serial-gather cost. Under vmap a cond executes both branches, but
-    # the fleet path batches with lax.map, where it stays a real branch.
-    k_small = 1024
-    if k_max > k_small:
+    # Adaptive march size: warm scans have <~1024 candidates (the larger
+    # buffer exists for cold starts, damage-heavy scans and occlusion storms
+    # -- bridge underpasses reach ~2600+), so a lax.cond chain runs the
+    # smallest power-of-two march the candidates fit in -- identical results
+    # (the extra buffer rows are inactive padding) at proportionally less
+    # serial-gather cost. Under vmap a cond executes both branches, but the
+    # fleet path batches with lax.map, where it stays a real branch.
+    tiers = [k for k in (1024, 2048) if k < k_max]
+    if tiers:
         n_cand = jnp.sum(cand.astype(jnp.int32))
-        out = lax.cond(
-            n_cand <= k_small, lambda: march(k_small), lambda: march(k_max)
-        )
+
+        def chain(remaining):
+            if not remaining:
+                return march(k_max)
+            k_tier = remaining[0]
+            return lax.cond(
+                n_cand <= k_tier,
+                functools.partial(march, k_tier),
+                functools.partial(chain, remaining[1:]),
+            )
+
+        out = chain(tiers)
     else:
         out = march(k_max)
     return out > 0

@@ -252,7 +252,8 @@ def make_spatial_step(config: GroundGridConfig, mesh: Mesh, axis: str = "space",
             binning, x, y, z, origin)
         accept = binning.inmap & ~binning.ignored & ~outlier
         raster = rasterlib.rasterize(
-            config, binning, z, origin, accept, with_max=False, psum_axis=axis)
+            config, binning, z, origin, accept, with_max=False, psum_axis=axis,
+            center=state.center, t_base_map=scan.t_base_map)
 
         # detect: raster layers are psum-replicated, so each shard slices its
         # own halo'd row block -- no further exchange needed

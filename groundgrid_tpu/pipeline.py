@@ -193,6 +193,7 @@ def make_step_fn(config: GroundGridConfig, with_aux: bool = False, _salt: int = 
             sorted_fn = functools.partial(
                 rasterlib.rasterize_sorted, config, binning, z, origin,
                 accept, with_max=with_aux,
+                center=state.center, t_base_map=scan.t_base_map,
             )
             if config.sorted_fallback_check:
                 is_sorted = jnp.all(binning.cell[1:] >= binning.cell[:-1])
@@ -202,13 +203,15 @@ def make_step_fn(config: GroundGridConfig, with_aux: bool = False, _salt: int = 
                     functools.partial(
                         rasterlib.rasterize, config, binning, z, origin,
                         accept, with_max=with_aux,
+                        center=state.center, t_base_map=scan.t_base_map,
                     ),
                 )
             else:
                 raster = sorted_fn()
         else:
             raster = rasterlib.rasterize(
-                config, binning, z, origin, accept, with_max=with_aux
+                config, binning, z, origin, accept, with_max=with_aux,
+                center=state.center, t_base_map=scan.t_base_map,
             )
 
         # --- ground patch detection (cpp:314-395) ---

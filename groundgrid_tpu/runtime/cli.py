@@ -422,6 +422,7 @@ def cmd_accuracy(args) -> int:
         n_azimuth=args.azimuth, step_m=args.step,
         adversarial=not args.benign,
         progress=lambda s: print(s, file=sys.stderr, flush=True),
+        chaos_control=args.chaos_control,
     )
     report = format_accuracy_report(result)
     if args.output:
@@ -430,11 +431,17 @@ def cmd_accuracy(args) -> int:
         print(f"wrote {args.output}", file=sys.stderr, flush=True)
     else:
         print(report, flush=True)
-    print(json.dumps({k: result[k] for k in
-                      ("workload", "pipeline", "golden", "delta_pt",
-                       "max_abs_delta_pt", "label_mismatch_rate")}),
-          flush=True)
-    return 0 if result["max_abs_delta_pt"] < args.budget_pt else 1
+    keys = ["workload", "pipeline", "golden", "delta_pt",
+            "max_abs_delta_pt", "label_mismatch_rate"]
+    if "chaos_envelope_pt" in result:
+        keys += ["chaos_envelope_pt", "max_abs_chaos_envelope_pt"]
+    print(json.dumps({k: result[k] for k in keys}), flush=True)
+    ok = result["max_abs_delta_pt"] < args.budget_pt or (
+        "max_abs_chaos_envelope_pt" in result
+        and result["max_abs_delta_pt"]
+        <= result["max_abs_chaos_envelope_pt"]
+    )
+    return 0 if ok else 1
 
 
 def cmd_bench(args) -> int:
@@ -502,6 +509,12 @@ def main(argv=None) -> int:
     p_acc.add_argument("--output", default="", help="markdown artifact path")
     p_acc.add_argument("--budget-pt", type=float, default=0.1,
                        help="max |delta| in percentage points for exit code 0")
+    p_acc.add_argument("--chaos-control", action="store_true",
+                       help="also run golden with a 1-ulp z perturbation to "
+                            "measure the scene's intrinsic metric "
+                            "sensitivity (the racy reference's own "
+                            "nondeterminism class); deltas within that "
+                            "envelope also exit 0")
     p_acc.add_argument("--dimension", type=float, default=120.0)
     p_acc.add_argument("--resolution", type=float, default=0.33)
     p_acc.add_argument("--max-points", type=int, default=131072)
