@@ -69,6 +69,26 @@ def __getattr__(name):
         from groundgrid_tpu.data.native_loader import SortedPrefetchingLoader
 
         return SortedPrefetchingLoader
+    if name == "WirePrefetchingLoader":
+        from groundgrid_tpu.data.native_loader import WirePrefetchingLoader
+
+        return WirePrefetchingLoader
+    if name == "DeviceEvaluator":
+        from groundgrid_tpu.eval.device import DeviceEvaluator
+
+        return DeviceEvaluator
+    if name == "LiveServer":
+        from groundgrid_tpu.runtime.live import LiveServer
+
+        return LiveServer
+    if name == "run_accuracy_benchmark":
+        from groundgrid_tpu.eval.accuracy import run_accuracy_benchmark
+
+        return run_accuracy_benchmark
+    if name == "banded_spiral":
+        from groundgrid_tpu.parallel.spiral_shard import banded_spiral
+
+        return banded_spiral
     if name == "make_spatial_step":
         from groundgrid_tpu.parallel.spatial import make_spatial_step
 
