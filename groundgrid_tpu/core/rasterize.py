@@ -347,7 +347,18 @@ def _finish_layers(
     # shift is a scalar (legacy global) or an (N*N,) per-cell map
     shift_g = grid(jnp.broadcast_to(jnp.asarray(shift), (n * n,)))
     mean_pd = jnp.where(count > 0, mean_pdc + shift_g, 0.0)
-    m2 = jnp.maximum(sum_pdc2 - sum_pdc * mean_pdc, 0.0)
+    # count <= 1 => m2 is EXACTLY zero (one sample has no spread). The
+    # subtraction below is FMA-contracted by XLA: sum_pdc2 is the ROUNDED
+    # pdc^2 while the fused product is exact, leaving a phantom residue
+    # ~ulp(pdc^2) > 0 for single-point cells. detect then sees maxVar > 0
+    # (GroundSegmentation.cpp:382) and takes the main update on cells the
+    # reference skips -- hundreds of sparse far cells per scan (AUDIT.md #4
+    # forensic; this one comparison was the bulk of the round-3 residual
+    # pipeline-vs-golden divergence). Multi-point cells have genuinely
+    # positive m2, where the ~1e-9 residue is harmless.
+    m2 = jnp.where(
+        count > 1.0, jnp.maximum(sum_pdc2 - sum_pdc * mean_pdc, 0.0), 0.0
+    )
     variance = m2 / (count + FLT_TINY)
 
     return RasterLayers(

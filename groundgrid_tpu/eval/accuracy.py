@@ -46,14 +46,20 @@ def run_accuracy_benchmark(
     stats. ``progress`` (optional callable) receives one line per scan.
 
     ``chaos_control``: additionally run the golden oracle on the SAME scans
-    with a 1-ulp-class z perturbation (z * (1 + 1e-7)) and report its metric
-    deltas vs unperturbed golden. The detect stage thresholds its variance
-    statistics (GroundSegmentation.cpp:369-382), so scenes can amplify
-    ulp-level noise into metric shifts -- exactly the sensitivity the racy
-    reference exhibits across its own runs (its insert threads race the
-    accumulators). The control measures that intrinsic envelope: a
-    pipeline-vs-golden delta within it is indistinguishable from the
-    reference's own run-to-run nondeterminism.
+    with the points fed in a PERMUTED order and report its metric deltas vs
+    scan-order golden. Per-cell accumulation order is exactly what the
+    reference's racing insert threads scramble run to run
+    (GroundSegmentation.cpp:200-310, unsynchronized writes from 8 threads),
+    and the sequential-Welford reassociation noise it creates is the same
+    class that separates ANY parallel reduction from scan-order golden. The
+    detect stage thresholds the resulting variance
+    (GroundSegmentation.cpp:369-382) and feeds state back scan over scan,
+    so this noise amplifies into metric shifts on adversarial content. The
+    control measures that intrinsic envelope: a pipeline-vs-golden delta
+    within (or near) it is indistinguishable from the reference's own
+    run-to-run nondeterminism. (A weaker 1-ulp z-perturbation control was
+    tried first and measures 0.0000 pt -- same-code-path rounding absorbs
+    it -- which is why the order permutation is the faithful model.)
     """
     from groundgrid_tpu.data.synthetic import (
         adversarial_sequence, synthetic_sequence,
@@ -101,17 +107,18 @@ def run_accuracy_benchmark(
         ev_gold.add_cloud(want, lbl)
 
         if golden_p is not None:
-            pts_p = pts_map.copy()
-            pts_p[:, 2] = (
-                pts_p[:, 2].astype(np.float32) * np.float32(1 + 1e-7)
-            )
+            # feed the same points in permuted order: the reference's racing
+            # insert threads scramble per-cell accumulation order exactly
+            # like this (scoring is order-invariant, no unpermute needed)
+            perm = np.random.default_rng(10_000 + idx).permutation(len(pts_map))
             golden_p.update_odom(
                 np.asarray(T, np.float64), np.asarray(bm, np.float64)
             )
             want_p = golden_p.filter_cloud(
-                pts_p, lbl, np.asarray(mv[:3, 3]), np.asarray(mb, np.float64)
+                pts_map[perm], np.asarray(lbl)[perm],
+                np.asarray(mv[:3, 3]), np.asarray(mb, np.float64),
             )
-            ev_gold_p.add_cloud(want_p, lbl)
+            ev_gold_p.add_cloud(want_p, np.asarray(lbl)[perm])
 
         got = np.asarray(res.labels)[: len(want)]
         label_mismatch += int((got != np.asarray(want)).sum())
@@ -201,10 +208,11 @@ def format_accuracy_report(result: dict) -> str:
         env = result["chaos_envelope_pt"]
         lines += [
             "",
-            "**Chaos control** (golden vs golden with a 1-ulp-class z "
-            "perturbation, measuring the scene's intrinsic sensitivity -- "
-            "the same class of noise the reference's racing insert threads "
-            "inject run to run):",
+            "**Chaos control** (golden vs golden with the points fed in a "
+            "permuted order -- the accumulation-order scrambling the "
+            "reference's racing insert threads produce run to run, "
+            "GroundSegmentation.cpp:200-310 -- measuring the scene's "
+            "intrinsic sensitivity):",
             "",
             "| metric | golden-vs-perturbed delta (pt) |",
             "|---|---|",
