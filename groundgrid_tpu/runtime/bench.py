@@ -27,17 +27,31 @@ def _log(msg: str) -> None:
 
 
 def _device_ms_per_step(step, state, scans, n_distinct: int, iters: int = 8) -> float:
-    """On-device ms per step from an xplane trace (host/tunnel excluded)."""
+    """On-device ms per step from an xplane trace (host/tunnel excluded).
+
+    The trace must window FORWARD streaming only: the caller's state sits at
+    the END of the scan cycle, so jumping back to ``scans[0]`` teleports the
+    grid backwards ~n_distinct*1.2 m -- a damage band that floods the
+    outlier-candidate buffer and storm-prices 1-in-iters of the traced
+    steps. Two untraced re-warm steps put the state back on the forward
+    path, then the traced steps stay within the cycle (no wrap).
+    """
     import glob
     import tempfile
 
     import jax
 
+    warm = min(2, n_distinct)
+    for i in range(warm):  # re-enter the forward path (not traced)
+        state, out = step(state, scans[i])
+    _ = np.asarray(out.labels)
+    iters = min(iters, n_distinct - warm) or 1
+
     tmp = tempfile.mkdtemp(prefix="ggbench_trace_")
     jax.profiler.start_trace(tmp)
     out = None
     for i in range(iters):
-        state, out = step(state, scans[i % n_distinct])
+        state, out = step(state, scans[warm + i])
     _ = np.asarray(out.labels)  # force completion inside the trace window
     jax.profiler.stop_trace()
 
@@ -115,7 +129,16 @@ def run_benchmark(
     _log(f"bench: platform={platform} grid={config.cell_count}^2 batch={batch} "
          f"sorted={config.sorted_scans}")
 
-    n_distinct = min(8, max(4, n_scans))
+    # Streaming needs enough DISTINCT consecutive scans that cycling back to
+    # scan 0 (a ~n_distinct*1.2 m backward teleport of the grid) is rare: the
+    # teleport's damage band floods the outlier-candidate buffer with
+    # below-plane points, and with the honest 4096-candidate cap those
+    # storms now march at full width instead of being shed (round-3 fix) --
+    # 8 distinct scans made 1-in-8 steps storm-priced and understated
+    # steady-state throughput by ~30%. 32 keeps host prep cheap while the
+    # storm fraction stays ~3% of the wall loop (and outside the traced
+    # device-time window, which measures warm forward streaming).
+    n_distinct = min(32 if batch == 1 else 8, max(4, n_scans))
     scans, poses = _make_scans(config, n_distinct, n_beams, n_azimuth)
     n_points = int(np.asarray(scans[0].valid).sum())
     _log(f"bench: {n_points} valid points/scan, {n_distinct} distinct scans")
