@@ -305,6 +305,47 @@ def make_step(config: GroundGridConfig, with_aux: bool = False, _salt: int = 0):
     return jax.jit(fn, donate_argnums=(0,))
 
 
+def _probe_device_ms(step, state, scan, iters: int = 6):
+    """(state', on-device ms/step) from an xplane trace.
+
+    Wall probes on this environment are dispatch-dominated (~5-6 ms/step of
+    tunnel RTT even for a healthy sub-ms executable), so they can only catch
+    the catastrophic ~500x deopt class; MILD deopts (1.5-2x, also produced
+    nondeterministically by the shared compile service) hide inside the
+    dispatch noise. The trace reads the executable's actual device duration.
+    """
+    import glob
+    import tempfile
+
+    import numpy as _np
+
+    import jax as _jax
+
+    tmp = tempfile.mkdtemp(prefix="ggprobe_trace_")
+    _jax.profiler.start_trace(tmp)
+    out = None
+    for _ in range(iters):
+        out = step(state, scan)
+        state = out[0]
+    _ = _np.asarray(out[1].labels)  # force completion inside the window
+    _jax.profiler.stop_trace()
+    from jax.profiler import ProfileData
+
+    path = sorted(glob.glob(f"{tmp}/**/*.xplane.pb", recursive=True))[-1]
+    pd_ = ProfileData.from_file(path)
+    totals: dict = {}
+    for plane in pd_.planes:
+        if "TPU" not in plane.name:
+            continue
+        for line in plane.lines:
+            for ev in line.events:
+                if ev.name.startswith("jit_"):
+                    totals[ev.name] = totals.get(ev.name, 0) + ev.duration_ns
+    if not totals:
+        return state, float("inf")
+    return state, max(totals.values()) / iters / 1e6
+
+
 def compile_step_verified(
     config: GroundGridConfig,
     example_state: GridState,
@@ -312,18 +353,24 @@ def compile_step_verified(
     with_aux: bool = False,
     attempts: int = 4,
     threshold_ms: float = 10.0,
+    device_probe_salts: int = 3,
 ):
     """Compile the step and *verify its throughput*, re-rolling deopt binaries.
 
-    The axon TPU compile service non-deterministically returns either a fully
-    optimized executable (sub-ms step) or a de-optimized one that serializes
-    the vectorized point ops (~40 ms -- a 500x regression, observed ~50% of
-    compiles). This probe times a real step after compilation and recompiles
-    with a different program salt until the executable is fast or ``attempts``
-    are exhausted, keeping the best one. On healthy toolchains the first probe
-    passes and this is a single warm-up step.
+    The axon TPU compile service non-deterministically returns de-optimized
+    executables in two classes: catastrophic (~40 ms vs sub-ms -- serialized
+    point ops, ~50% of compiles) and MILD (1.5-2x, invisible to wall probes
+    under this environment's ~5 ms/step dispatch RTT). Strategy: a wall probe
+    filters the catastrophic class per salt (threshold_ms), then an xplane
+    DEVICE-TIME probe ranks the survivors and the best of
+    ``device_probe_salts`` candidates wins. The winning salt and its device
+    time are hinted to disk; later sessions accept the hinted salt
+    immediately if its device time is within 15% of the recorded best,
+    re-rolling otherwise.
 
-    Returns ``(step, probe_ms)``. The example state is consumed (donated).
+    Returns ``(step, probe_ms)`` where probe_ms is the winning on-device
+    ms/step (or the wall probe value when tracing is unavailable). The
+    example state is consumed (donated).
     """
     import hashlib
     import os
@@ -336,22 +383,36 @@ def compile_step_verified(
     # resort so retries don't re-hit cached deopt binaries.
     key = hashlib.sha1(f"{config!r}|{with_aux}".encode()).hexdigest()[:16]
     hint_path = os.path.join(default_cache_dir(), f"salt_hint_{key}")
-    salts = []
+    hint_salt, hint_dev = None, None
     try:
         with open(hint_path) as f:
-            salts.append(int(f.read().strip()))
+            parts = f.read().strip().split(",")
+            hint_salt = int(parts[0])
+            if len(parts) > 1:
+                hint_dev = float(parts[1])
     except (OSError, ValueError):
         pass
+    salts = [] if hint_salt is None else [hint_salt]
     salts += [s for s in range(attempts) if s not in salts]
     salts += [1000 + (int(_time.time()) + i) % 100000 for i in range(2)]
     salts = salts[: attempts + 2]
 
+    def write_hint(salt, dev_ms):
+        try:
+            os.makedirs(default_cache_dir(), exist_ok=True)
+            with open(hint_path, "w") as f:
+                f.write(f"{salt},{dev_ms:.4f}")
+        except OSError:
+            pass
+
     best = None
-    best_ms = float("inf")
+    best_dev = float("inf")
+    best_salt = None
     state = example_state
     probe_iters = 12  # pipelined: per-call host sync would swamp a 1-shot probe
     import numpy as _np
 
+    probed = 0
     for salt in salts:
         step = make_step(config, with_aux, _salt=salt)
         out = step(state, example_scan)
@@ -362,18 +423,32 @@ def compile_step_verified(
             out = step(state, example_scan)
             state = out[0]
         _ = _np.asarray(out[1].labels)
-        ms = (_time.perf_counter() - t0) * 1000.0 / probe_iters
-        if ms < best_ms:
-            best, best_ms = step, ms
-        if ms < threshold_ms:
-            try:
-                os.makedirs(default_cache_dir(), exist_ok=True)
-                with open(hint_path, "w") as f:
-                    f.write(str(salt))
-            except OSError:
-                pass
+        wall_ms = (_time.perf_counter() - t0) * 1000.0 / probe_iters
+        if wall_ms >= threshold_ms:
+            continue  # catastrophic deopt; next salt
+        state, dev_ms = _probe_device_ms(step, state, example_scan)
+        if not _np.isfinite(dev_ms):
+            # no trace events available (e.g. non-TPU backends reached via
+            # this path in tests): fall back to the wall-probe contract
+            if best is None:
+                write_hint(salt, wall_ms)
+                return step, wall_ms
             break
-    return best, best_ms
+        probed += 1
+        if dev_ms < best_dev:
+            best, best_dev, best_salt = step, dev_ms, salt
+        # hinted salt still in its recorded form: accept without re-rolls
+        if (salt == hint_salt and hint_dev is not None
+                and dev_ms <= hint_dev * 1.15):
+            write_hint(salt, min(dev_ms, hint_dev))
+            return step, dev_ms
+        if probed >= device_probe_salts:
+            break
+    if best is not None:
+        write_hint(best_salt, best_dev)
+        return best, best_dev
+    # every salt hit the catastrophic filter: return the last compiled step
+    return step, wall_ms
 
 
 def init_state(config: GroundGridConfig, t_map_velo) -> GridState:
