@@ -71,15 +71,16 @@ class GroundGridConfig:
     # ones on overflow (core/outliers.py) -- the rest are treated as
     # non-outliers (i.e. kept as regular points). Warm-scan candidate counts
     # reach ~1000 at the default geometry on benign scenes
-    # (tests/test_full_geometry.py) but ~2600+ in occlusion storms (bridge
-    # underpasses + sub-surface reflections, the round-3 adversarial
-    # benchmark), so 4096 keeps headroom for both; the march cost is
-    # adaptive (half-size buffer via lax.cond on warm scans), so the larger
-    # cap prices in only when candidates actually exceed 2048. Cold-start
-    # scans (fresh grid, everything "below" the sensor-height init) overflow
-    # by design and harmlessly: the confidence map is all-zero, so no march
-    # can fire anywhere.
-    max_outlier_candidates: int = 4096
+    # (tests/test_full_geometry.py) but peak ~5500 FIRED outliers (candidates
+    # higher still) in occlusion storms -- bridge underpasses + sub-surface
+    # reflections, measured on the round-3 adversarial benchmark -- so 8192
+    # keeps headroom for both. The march cost is adaptive (lax.cond tiers at
+    # 1024/2048/4096), so the large cap prices in only on scans whose
+    # candidates actually exceed the next-smaller tier. Cold-start scans
+    # (fresh grid, everything "below" the sensor-height init) overflow by
+    # design and harmlessly: the confidence map is all-zero, so no march can
+    # fire anywhere.
+    max_outlier_candidates: int = 8192
     # Reproduce the reference's "drop points within 3 cells of the max-index
     # border" quirk (GroundSegmentation.cpp:167-168).
     border_drop: bool = True

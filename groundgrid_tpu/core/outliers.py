@@ -293,7 +293,7 @@ def detect_outliers(
     # (the extra buffer rows are inactive padding) at proportionally less
     # serial-gather cost. Under vmap a cond executes both branches, but the
     # fleet path batches with lax.map, where it stays a real branch.
-    tiers = [k for k in (1024, 2048) if k < k_max]
+    tiers = [k for k in (1024, 2048, 4096) if k < k_max]
     if tiers:
         n_cand = jnp.sum(cand.astype(jnp.int32))
 
