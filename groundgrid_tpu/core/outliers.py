@@ -288,26 +288,21 @@ def detect_outliers(
 
     # Adaptive march size: warm scans have <~1024 candidates (the larger
     # buffer exists for cold starts, damage-heavy scans and occlusion storms
-    # -- bridge underpasses reach ~2600+), so a lax.cond chain runs the
-    # smallest power-of-two march the candidates fit in -- identical results
+    # -- bridge underpasses reach ~5500 fired outliers), so the smallest
+    # power-of-two march the candidates fit in runs -- identical results
     # (the extra buffer rows are inactive padding) at proportionally less
-    # serial-gather cost. Under vmap a cond executes both branches, but the
-    # fleet path batches with lax.map, where it stays a real branch.
-    tiers = [k for k in (1024, 2048, 4096) if k < k_max]
-    if tiers:
+    # serial-gather cost. ONE lax.switch, not a cond chain: TPU conditionals
+    # are scheduling barriers, and nesting them serialized the surrounding
+    # async work (~+0.6 ms/scan measured for a 2-deep chain in the full
+    # step). Under vmap a switch executes all branches, but the fleet path
+    # batches with lax.map, where it stays a real branch.
+    tiers = [k for k in (1024, 2048, 4096) if k < k_max] + [k_max]
+    if len(tiers) > 1:
         n_cand = jnp.sum(cand.astype(jnp.int32))
-
-        def chain(remaining):
-            if not remaining:
-                return march(k_max)
-            k_tier = remaining[0]
-            return lax.cond(
-                n_cand <= k_tier,
-                functools.partial(march, k_tier),
-                functools.partial(chain, remaining[1:]),
-            )
-
-        out = chain(tiers)
+        idx = sum(
+            (n_cand > np.int32(k)).astype(jnp.int32) for k in tiers[:-1]
+        )
+        out = lax.switch(idx, [functools.partial(march, k) for k in tiers])
     else:
         out = march(k_max)
     return out > 0

@@ -124,6 +124,39 @@ def test_rasterize_layers(small_config, golden_run, scan_idx):
 
 
 @pytest.mark.parametrize("scan_idx", [0, 1, 2])
+def test_single_point_cells_have_exactly_zero_variance(
+    small_config, golden_run, scan_idx
+):
+    """count <= 1 cells must report m2 == variance == 0.0 EXACTLY.
+
+    XLA contracts the shifted-sum m2 subtraction into an FMA, which left a
+    ~ulp(pdc^2) phantom residue on single-point cells; detect's
+    ``maxVar > 0`` test (GroundSegmentation.cpp:382) then took the main
+    update on cells the reference skips (AUDIT.md #4 forensic -- the bulk
+    of the round-3 accuracy divergence). Regression: bitwise zero, both
+    with and without the per-cell plane conditioning shift.
+    """
+    cfg = small_config
+    rec = golden_run[scan_idx]
+    binning, center, (x, y, z) = _binning(cfg, rec)
+    accept = binning.inmap & ~binning.ignored
+    for kwargs in (
+        dict(),
+        dict(center=center, t_base_map=jnp.asarray(np.eye(4, dtype=np.float32))),
+    ):
+        raster = rasterlib.rasterize(
+            cfg, binning, z, jnp.asarray(rec["origin"]), accept, **kwargs
+        )
+        counts = np.asarray(raster.points)
+        m2 = np.asarray(raster.m2)
+        var = np.asarray(raster.variance)
+        single = counts <= 1.0
+        assert single.any()
+        np.testing.assert_array_equal(m2[single], 0.0)
+        np.testing.assert_array_equal(var[single], 0.0)
+
+
+@pytest.mark.parametrize("scan_idx", [0, 1, 2])
 def test_detect_with_golden_inputs(small_config, golden_run, scan_idx):
     """Feed detect the golden's own layers -> outputs must match closely."""
     cfg = small_config
