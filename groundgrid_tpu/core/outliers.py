@@ -123,7 +123,9 @@ def detect_outliers(
     n = config.cell_count
     res = np.float32(config.resolution)
     half = np.float32(config.half_length)
-    k_max = config.max_outlier_candidates
+    # small scans (tests, decimated feeds) can carry fewer points than the
+    # configured candidate cap; every candidate fits in a point-count buffer
+    k_max = min(config.max_outlier_candidates, int(x.shape[0]))
     tol = np.float32(config.outlier_tolerance)
 
     # NOTE: the march below keeps the 2-wide pair-table row gather even when
