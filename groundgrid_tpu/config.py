@@ -74,13 +74,25 @@ class GroundGridConfig:
     # (tests/test_full_geometry.py) but peak ~5500 FIRED outliers (candidates
     # higher still) in occlusion storms -- bridge underpasses + sub-surface
     # reflections, measured on the round-3 adversarial benchmark -- so 8192
-    # keeps headroom for both. The march cost is adaptive (lax.cond tiers at
-    # 1024/2048/4096), so the large cap prices in only on scans whose
-    # candidates actually exceed the next-smaller tier. Cold-start scans
+    # keeps headroom for both. The march cost is adaptive (``march_chunk``),
+    # so the large cap prices in only on scans whose candidates actually
+    # exceed a chunk boundary. Cold-start scans
     # (fresh grid, everything "below" the sensor-height init) overflow by
     # design and harmlessly: the confidence map is all-zero, so no march can
     # fire anywhere.
     max_outlier_candidates: int = 8192
+    # Candidates per march dispatch: the ray-march runs as a
+    # ``lax.while_loop`` over budget-sorted chunks of this size, stopping at
+    # the scan's actual candidate count (core/outliers.py). Warm scans
+    # (<~1k candidates at the default geometry) run ONE chunk; occlusion
+    # storms run up to ``max_outlier_candidates / march_chunk``. This shape
+    # was chosen over a lax.switch tier ladder after measurement: TPU
+    # conditionals are scheduling barriers and their cost scales with the
+    # branch bodies PRESENT, not just the branch taken -- a 4-tier
+    # 1024/2048/4096/8192 switch cost +0.5 ms/scan and a 2-tier 2048/8192
+    # +0.8 ms/scan over the loop form, on steps whose candidates fit the
+    # smallest tier either way.
+    march_chunk: int = 1024
     # Reproduce the reference's "drop points within 3 cells of the max-index
     # border" quirk (GroundSegmentation.cpp:167-168).
     border_drop: bool = True

@@ -14,8 +14,10 @@ Design notes:
     identical to the reference, where those layers are only written by later
     stages, so insert-threads always saw the prior scan's terrain.
   * Candidates (z < ground - 0.2) are rare (<~1% of a scan), so they are
-    compacted into a fixed ``max_outlier_candidates`` buffer with ``top_k``;
-    overflow degrades gracefully to "not outlier".
+    compacted into a fixed ``max_outlier_candidates`` buffer by a
+    budget-descending sort, and ray-marched in fixed-size chunks that stop
+    at the actual candidate count; overflow sheds the shortest-budget
+    candidates first and degrades gracefully to "not outlier".
   * The three per-sample table tests (3x3 confidence block sum, cell
     confidence, terrain height vs ray height) fold into ONE table lookup: a
     per-cell monotonic-uint32 key that is 0 where the confidence tests fail
@@ -29,8 +31,6 @@ Design notes:
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -140,171 +140,191 @@ def detect_outliers(
         old_h = pair_table[flat_cell][:, 1]  # 2-wide row gather (see _pair_table)
     cand = binning.inmap & ~binning.ignored & (z < old_h - np.float32(0.2))
 
-    # compact candidates into a fixed-size buffer by sorting. (A cumsum +
-    # vectorized-binary-search compaction was measured ~3x slower: XLA's
-    # searchsorted while-loop costs ~270 us; a one-hot-matmul slot
-    # compaction via the raster kernel costs as much in B-matrix DMA as the
-    # sort it replaces.) The score is the depth below the previous terrain,
-    # so if a scan ever overflows ``max_outlier_candidates`` the buffer
-    # keeps the *deepest* candidates -- the ones a warm confidence map can
-    # actually fire on -- and sheds the shallow ones first (graceful
-    # degradation; the reference marches every candidate,
-    # GroundSegmentation.cpp:242).
-    depth = jnp.where(cand, old_h - z, np.float32(-1.0))
-    p_total = x.shape[0]
-    if p_total <= U32_SORT_MAX_POINTS:
-        # pack (quantized depth, point index) into ONE u32 key and sort a
-        # single array: ~2x cheaper than top_k's (f32 key, i32 iota) pair
-        # sort (107 -> ~60 us at 131k points). The low 17 bits carry the
-        # index; the top 15 bits the monotone depth encoding -- candidates
-        # (depth >= 0.2) and non-candidates (depth == -1.0) stay separated
-        # under the 17-bit truncation, so selection is exact; only the
-        # overflow keep-deepest ORDER coarsens to 15-bit depth ties (broken
-        # by index), which perturbs nothing unless a scan exceeds the 2x
-        # candidate headroom the full-geometry test asserts.
-        idx_mask = np.uint32((1 << 17) - 1)
-        key = (_mono_u32(depth) & ~idx_mask) | jnp.arange(p_total, dtype=jnp.uint32)
-        # ascending complement == descending key; is_stable=False: keys are
-        # unique (index in the low bits), and a stable sort silently adds a
-        # second s32 iota operand (~2x cost)
-        nk_sorted = lax.sort(~key, is_stable=False)
-        act_thr = np.uint32(
-            (int(~np.uint32(np.float32(-1.0).view(np.uint32))) & ~int(idx_mask))
-            | int(idx_mask)
-        )
-
-        def topk_slice(k):
-            key_k = ~lax.slice_in_dim(nk_sorted, 0, k)
-            active = key_k > act_thr
-            pidx = (key_k & idx_mask).astype(jnp.int32)
-            return active, pidx
-    else:
-        vals_full, pidx_full = lax.top_k(depth, k_max)
-
-        def topk_slice(k):
-            return (
-                lax.slice_in_dim(vals_full, 0, k) > 0,
-                lax.slice_in_dim(pidx_full, 0, k),
-            )
+    # ---- per-point march budgets, elementwise over the whole scan ----
+    # The loop-invariant conditions of the reference's per-step while loop
+    # (GroundSegmentation.cpp:258) fold into a per-point step budget:
+    # non-candidates and non-descending rays march 0 steps. Elementwise over
+    # (P,) arrays this is VPU-vectorized and ~free, and it lets candidate
+    # SELECTION sort directly on the budget -- no per-candidate gathers
+    # before the march chunks (3x 8192-row 1-wide gathers, ~200 us, in the
+    # gather-then-sort formulation this replaced).
+    dxa = x - origin[0]
+    dya = y - origin[1]
+    dza = z - origin[2]
+    length_all = jnp.sqrt(dxa * dxa + dya * dya + dza * dza)
+    inv_len_all = 1.0 / jnp.maximum(length_all, 1e-12)
+    budget_all = jnp.where(
+        cand & (dza * inv_len_all < np.float32(-0.01)), length_all, 0.0
+    )
 
     # near/far step split: steps < TIER_SPLIT march for EVERY candidate,
     # steps >= TIER_SPLIT only for the (few) candidates whose ray budget
-    # reaches them -- see march() below
+    # reaches them -- see the chunk loop below
     TIER_SPLIT = 32
+    split = min(TIER_SPLIT, config.ray_steps)
 
-    def march(k: int) -> jax.Array:
-        """March the top-k candidate buffer; returns (P,) 0/1 hits.
+    # ---- candidate compaction: ONE budget-descending sort ----
+    # (A cumsum + vectorized-binary-search compaction was measured ~3x
+    # slower: XLA's searchsorted while-loop costs ~270 us; a one-hot-matmul
+    # slot compaction via the raster kernel costs as much in B-matrix DMA as
+    # the sort it replaces.) Sorting by budget makes marchable candidates a
+    # prefix AND fixes overflow shedding: if a scan ever exceeds
+    # ``max_outlier_candidates`` the buffer keeps the longest-budget rays --
+    # zero-budget candidates can never fire, so only potentially-firing
+    # candidates are ever shed, and only after the 8192 cap (above the
+    # ~5500-outlier storm peak measured on the adversarial benchmark; the
+    # reference marches every candidate, GroundSegmentation.cpp:242).
+    p_total = x.shape[0]
+    idx_mask = np.uint32((1 << 17) - 1)
+    # truncated monotone budget encoding (top 15 bits); the far-prefix count
+    # below uses the SAME truncation so prefix containment is exact
+    trunc_all = _mono_u32(budget_all) & ~idx_mask
+    if p_total <= U32_SORT_MAX_POINTS:
+        # pack (quantized budget, point index) into ONE u32 key and sort a
+        # single array: ~2x cheaper than top_k's (f32 key, i32 iota) pair
+        # sort (107 -> ~60 us at 131k points). The low 17 bits carry the
+        # index; the top 15 bits the monotone budget encoding. is_stable=
+        # False: keys are unique (index in the low bits), and a stable sort
+        # silently adds a second s32 iota operand (~2x cost).
+        key = trunc_all | jnp.arange(p_total, dtype=jnp.uint32)
+        # ascending complement == descending key
+        nk_sorted = lax.sort(~key, is_stable=False)
+        key_sorted = ~lax.slice_in_dim(nk_sorted, 0, k_max)
+        pidx = (key_sorted & idx_mask).astype(jnp.int32)
+    else:
+        _, pidx = lax.top_k(budget_all, k_max)
 
-        The march cost is linear in the lattice row count (a serial
-        (rows, 2) row gather), so the caller sizes k to the scan AND the
-        step range is budget-tiered: every candidate marches the near steps
-        [3, TIER_SPLIT), but the far steps [TIER_SPLIT, ray_steps) run only
-        for a budget-sorted prefix of candidates whose rays actually reach
-        that far (typically <1/4 of the buffer: most scan points sit within
-        ~30 m). Identical results -- a candidate with budget < TIER_SPLIT
-        has ``within == False`` at every far step -- at roughly half the
-        serial-gather cost.
+    # exact counts, elementwise over all P (no gathers). n_far uses the
+    # truncated encoding: the sort orders by (truncated budget, index), so
+    # counting with the same truncation keeps every candidate with exact
+    # budget >= split inside the first n_far positions (truncation is
+    # monotone => a superset of the exact set, which is always safe: the
+    # extra borderline rows' ``within`` masks still apply the exact test).
+    n_run = jnp.sum((budget_all > 0).astype(jnp.int32))
+    trunc_split = np.uint32(
+        (int(np.float32(split).view(np.uint32)) | 0x80000000) & ~int(idx_mask)
+    )
+    n_far = jnp.sum((trunc_all >= trunc_split).astype(jnp.int32))
+
+    def lattice_hits(kv, s_lo: int, s_hi: int) -> jax.Array:
+        """(k', s_hi-s_lo) march lattice -> per-candidate 0/1 hits.
+
+        2-D broadcasts instead of flat candidate-id gathers: device
+        traces show per-element gathers/scatters run serially
+        (~8.5 ns/elem) on this backend, so the five j-indexed gathers +
+        the per-candidate scatter of the flat formulation cost ~34 ms;
+        the broadcast form leaves exactly ONE serial gather (the
+        occlusion key table).
         """
-        active, pidx = topk_slice(k)
-        px = x[pidx]
-        py = y[pidx]
-        pz = z[pidx]
-        dx = px - origin[0]
-        dy = py - origin[1]
-        dz = pz - origin[2]
+        bvx, bvy, bvz, bbudget = kv
+        kk = lax.broadcasted_iota(
+            jnp.float32, (bvx.shape[0], s_hi - s_lo), 1
+        ) + np.float32(s_lo)
+        within = kk < bbudget[:, None]
+
+        sx = origin[0] + kk * bvx[:, None]
+        sy = origin[1] + kk * bvy[:, None]
+        i0 = jnp.floor(((center[0] + half) - sx) / res).astype(jnp.int32)
+        i1 = jnp.floor(((center[1] + half) - sy) / res).astype(jnp.int32)
+        inside = (i0 > 0) & (i1 > 0) & (i0 < n - 1) & (i1 < n - 1)
+        flat = jnp.clip(i0, 0, n - 1) * n + jnp.clip(i1, 0, n - 1)
+        thr = _mono_u32(kk * bvz[:, None] + origin[2] + tol)
+        if key_only:
+            # both table columns hold the key: test in the gather's
+            # native (rows, 2) layout -- no column extract/relayout
+            pairs = lax.bitcast_convert_type(pair_table[flat], jnp.uint32)
+            key_hit = jnp.any(pairs >= thr[..., None], axis=-1)
+        else:
+            key = lax.bitcast_convert_type(pair_table[flat][..., 0], jnp.uint32)
+            key_hit = key >= thr
+        hit = within & inside & key_hit
+        return jnp.any(hit, axis=1).astype(jnp.int32)
+
+    # ---- chunked march: a while_loop over budget-sorted chunks ----
+    # The march cost is linear in the lattice row count (a serial (rows, 2)
+    # row gather at ~8-10 ns/row), so the buffer is processed in fixed
+    # ``march_chunk``-candidate chunks and the loop STOPS at the scan's
+    # actual marchable-candidate count: warm scans (<~1k candidates) run one
+    # chunk; occlusion storms (bridge underpasses reach ~5500 fired
+    # outliers) run up to k_max/chunk. Exact: the budget sort makes
+    # marchable candidates a prefix, chunks partition the buffer, and each
+    # chunk's candidates see the identical per-ray test. A lax.switch tier
+    # ladder was measured and rejected -- TPU conditionals are scheduling
+    # barriers whose cost grows with the branch bodies PRESENT (a 4-tier
+    # ladder cost +0.5 ms/scan, a 2-tier 2048/8192 ladder +0.8 ms/scan on
+    # steps that only ever took the smallest tier). Within each chunk the
+    # step range is budget-tiered: every candidate marches the near steps
+    # [3, TIER_SPLIT); the far steps [TIER_SPLIT, ray_steps) run for a
+    # budget-prefix only (identical results: a candidate with budget <
+    # TIER_SPLIT has ``within == False`` at every far step). Under vmap a
+    # while_loop runs until every batch lane is done; the fleet path batches
+    # with lax.map, which keeps the per-vehicle trip counts independent.
+    chunk = min(config.march_chunk, k_max)
+    n_chunks = -(-k_max // chunk)  # static ceil
+    pad_to = n_chunks * chunk
+    if pad_to > k_max:
+        # padding slots repeat point 0; its budget gathers to its true value
+        # and the hit scatter is a .max() -- marching a point twice is
+        # idempotent, so duplicates are harmless
+        pidx = jnp.concatenate(
+            [pidx, jnp.zeros((pad_to - k_max,), pidx.dtype)]
+        )
+    k_far = max(chunk // 4, 128)  # measured best of {k/2, k/4} on TPU
+
+    def chunk_hits(i):
+        # per-chunk candidate data: three 1-wide chunk-row gathers + an
+        # elementwise rebuild of the unit ray (bitwise equal to the
+        # elementwise budget pass above -- same ops, same order), plus the
+        # exact budget gathered from the precomputed per-point array
+        cpidx = lax.dynamic_slice_in_dim(pidx, i * chunk, chunk)
+        cpx = x[cpidx]
+        cpy = y[cpidx]
+        cpz = z[cpidx]
+        cbud = budget_all[cpidx]
+        dx = cpx - origin[0]
+        dy = cpy - origin[1]
+        dz = cpz - origin[2]
         length = jnp.sqrt(dx * dx + dy * dy + dz * dz)
         inv_len = 1.0 / jnp.maximum(length, 1e-12)
-        vx = dx * inv_len
-        vy = dy * inv_len
-        vz = dz * inv_len
-        # fold the loop-invariant conditions (GroundSegmentation.cpp:258) into
-        # the per-candidate step budget: inactive or non-descending rays
-        # march 0 steps
-        budget = jnp.where(active & (vz < np.float32(-0.01)), length, 0.0)
-
-        # budget-descending reorder (one fused multi-operand sort; k-row
-        # gathers per column would serialize)
-        neg_b, vx, vy, vz, budget, pidx = lax.sort(
-            (-budget, vx, vy, vz, budget, pidx), num_keys=1
-        )
-        del neg_b
-
-        def lattice_hits(kv, s_lo: int, s_hi: int) -> jax.Array:
-            """(k', s_hi-s_lo) march lattice -> per-candidate 0/1 hits.
-
-            2-D broadcasts instead of flat candidate-id gathers: device
-            traces show per-element gathers/scatters run serially
-            (~8.5 ns/elem) on this backend, so the five j-indexed gathers +
-            the per-candidate scatter of the flat formulation cost ~34 ms;
-            the broadcast form leaves exactly ONE serial gather (the
-            occlusion key table).
-            """
-            bvx, bvy, bvz, bbudget = kv
-            kk = lax.broadcasted_iota(
-                jnp.float32, (bvx.shape[0], s_hi - s_lo), 1
-            ) + np.float32(s_lo)
-            within = kk < bbudget[:, None]
-
-            sx = origin[0] + kk * bvx[:, None]
-            sy = origin[1] + kk * bvy[:, None]
-            i0 = jnp.floor(((center[0] + half) - sx) / res).astype(jnp.int32)
-            i1 = jnp.floor(((center[1] + half) - sy) / res).astype(jnp.int32)
-            inside = (i0 > 0) & (i1 > 0) & (i0 < n - 1) & (i1 < n - 1)
-            flat = jnp.clip(i0, 0, n - 1) * n + jnp.clip(i1, 0, n - 1)
-            thr = _mono_u32(kk * bvz[:, None] + origin[2] + tol)
-            if key_only:
-                # both table columns hold the key: test in the gather's
-                # native (rows, 2) layout -- no column extract/relayout
-                pairs = lax.bitcast_convert_type(pair_table[flat], jnp.uint32)
-                key_hit = jnp.any(pairs >= thr[..., None], axis=-1)
-            else:
-                key = lax.bitcast_convert_type(pair_table[flat][..., 0], jnp.uint32)
-                key_hit = key >= thr
-            hit = within & inside & key_hit
-            return jnp.any(hit, axis=1).astype(jnp.int32)
-
-        split = min(TIER_SPLIT, config.ray_steps)
-        hit_near = lattice_hits((vx, vy, vz, budget), 3, split)
-        if split < config.ray_steps:
-            def far(k2: int) -> jax.Array:
-                pre = lambda a: lax.slice_in_dim(a, 0, k2)
-                h = lattice_hits(
-                    (pre(vx), pre(vy), pre(vz), pre(budget)),
-                    split, config.ray_steps,
-                )
-                return jnp.concatenate(
-                    [h, jnp.zeros((k - k2,), jnp.int32)]
-                )
-            # budget-sorted prefix: every candidate whose ray reaches the far
-            # tier is inside it, so results are exact for either branch
-            n_far = jnp.sum((budget >= np.float32(split)).astype(jnp.int32))
-            k_far = max(k // 4, 128)  # measured best of {k/2, k/4} on TPU
-            if k > k_far:
-                hit_far = lax.cond(n_far <= k_far, lambda: far(k_far), lambda: far(k))
-            else:
-                hit_far = far(k)
-            hit_k = jnp.maximum(hit_near, hit_far)
+        cvx = dx * inv_len
+        cvy = dy * inv_len
+        cvz = dz * inv_len
+        hit_near = lattice_hits((cvx, cvy, cvz, cbud), 3, split)
+        if split >= config.ray_steps:
+            return cpidx, hit_near
+        def far(k2: int) -> jax.Array:
+            pre = lambda a: lax.slice_in_dim(a, 0, k2)
+            h = lattice_hits(
+                (pre(cvx), pre(cvy), pre(cvz), pre(cbud)),
+                split, config.ray_steps,
+            )
+            return jnp.concatenate([h, jnp.zeros((chunk - k2,), jnp.int32)])
+        # global budget order => this chunk's far candidates are its prefix,
+        # of size clip(n_far - i*chunk, 0, chunk); either branch is exact
+        n_far_c = jnp.clip(n_far - i * chunk, 0, chunk)
+        if chunk > k_far:
+            hit_far = lax.cond(
+                n_far_c <= k_far, lambda: far(k_far), lambda: far(chunk)
+            )
         else:
-            hit_k = hit_near
-        return jnp.zeros((x.shape[0],), jnp.int32).at[pidx].max(hit_k)
+            hit_far = far(chunk)
+        return cpidx, jnp.maximum(hit_near, hit_far)
 
-    # Adaptive march size: warm scans have <~1024 candidates (the larger
-    # buffer exists for cold starts, damage-heavy scans and occlusion storms
-    # -- bridge underpasses reach ~5500 fired outliers), so the smallest
-    # power-of-two march the candidates fit in runs -- identical results
-    # (the extra buffer rows are inactive padding) at proportionally less
-    # serial-gather cost. ONE lax.switch, not a cond chain: TPU conditionals
-    # are scheduling barriers, and nesting them serialized the surrounding
-    # async work (~+0.6 ms/scan measured for a 2-deep chain in the full
-    # step). Under vmap a switch executes all branches, but the fleet path
-    # batches with lax.map, where it stays a real branch.
-    tiers = [k for k in (1024, 2048, 4096) if k < k_max] + [k_max]
-    if len(tiers) > 1:
-        n_cand = jnp.sum(cand.astype(jnp.int32))
-        idx = sum(
-            (n_cand > np.int32(k)).astype(jnp.int32) for k in tiers[:-1]
-        )
-        out = lax.switch(idx, [functools.partial(march, k) for k in tiers])
+    if n_chunks == 1:
+        cpidx, hit_c = chunk_hits(jnp.int32(0))
+        out = jnp.zeros((x.shape[0],), jnp.int32).at[cpidx].max(hit_c)
     else:
-        out = march(k_max)
+        def loop_cond(st):
+            i, _ = st
+            return (i < n_chunks) & (i * chunk < n_run)
+
+        def loop_body(st):
+            i, hits = st
+            cpidx, hit_c = chunk_hits(i)
+            return i + 1, hits.at[cpidx].max(hit_c)
+
+        _, out = lax.while_loop(
+            loop_cond, loop_body,
+            (jnp.int32(0), jnp.zeros((x.shape[0],), jnp.int32)),
+        )
     return out > 0

@@ -10,7 +10,7 @@ full jitted pipeline at the default ``GroundGridConfig`` and asserts
     used at 80x80 (tests/test_pipeline.py),
   * the grid actually relocated between scans (the move/damage path is on),
   * warm-scan outlier-candidate counts leave >= 2x headroom vs
-    ``max_outlier_candidates`` (overflow sheds the shallowest candidates,
+    ``max_outlier_candidates`` (overflow sheds the shortest-budget candidates,
     core/outliers.py). Scan 0 is exempt: a fresh grid initializes ground at
     the sensor height, so nearly every point is "below ground" -- but the
     confidence map is all-zero, no march can fire, and the overflow is

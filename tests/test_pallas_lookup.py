@@ -124,13 +124,17 @@ def test_outliers_with_lookup_matches_gather(small_config, small_scans):
 
 def test_outliers_u32_selection_matches_topk(small_config, small_scans,
                                              monkeypatch):
-    """The packed-u32-key candidate selection == the top_k pair sort.
+    """The packed-u32-key candidate selection == the top_k budget sort.
 
     Exact equality holds whenever the scan fits the march buffer (no
     overflow): both paths then select the identical candidate SET, and the
-    march is order-invariant.
+    march is order-invariant. On overflow the paths may shed different
+    quantized-budget boundary ties, so the premise is asserted below with a
+    cap sized to this scene.
     """
-    cfg = small_config
+    import dataclasses
+
+    cfg = dataclasses.replace(small_config, max_outlier_candidates=8192)
     binning, x, y, z, origin = _sorted_binning(cfg, small_scans[0])
     rng = np.random.default_rng(3)
     ground = jnp.asarray(
@@ -139,6 +143,17 @@ def test_outliers_u32_selection_matches_topk(small_config, small_scans,
     groundpatch = jnp.asarray(
         rng.uniform(0, 1, (cfg.cell_count,) * 2).astype(np.float32)
     )
+    # premise: the scene's candidates fit the buffer (no overflow shedding)
+    n = cfg.cell_count
+    flat = np.clip(np.asarray(binning.cell), 0, n * n - 1)
+    old_h = np.asarray(ground).reshape(-1)[flat]
+    cand = (
+        np.asarray(binning.inmap)
+        & ~np.asarray(binning.ignored)
+        & (np.asarray(z) < old_h - np.float32(0.2))
+    )
+    assert 0 < cand.sum() <= cfg.max_outlier_candidates, cand.sum()
+
     args = (cfg, jnp.zeros(2), ground, groundpatch, binning, x, y, z, origin)
     with_u32 = outlierlib.detect_outliers(*args)
     monkeypatch.setattr(outlierlib, "U32_SORT_MAX_POINTS", 0)  # force top_k
