@@ -46,6 +46,10 @@ U32_TOP = np.uint32(0x80000000)
 # beyond it candidate selection falls back to the (f32, i32) top_k pair sort
 U32_SORT_MAX_POINTS = 1 << 17
 
+# row-count granularity of the sorted-lookup kernel (pallas_lookup.GROUP;
+# literal here so importing this module never touches pallas)
+_LOOKUP_GROUP = 1024
+
 
 def _mono_u32(f):
     """Order-preserving f32 -> uint32 (total order on non-NaN floats)."""
@@ -110,6 +114,8 @@ def detect_outliers(
     z,
     origin,
     old_h=None,
+    use_lookup_kernel: bool = False,
+    _interpret: bool = False,
 ) -> jax.Array:
     """Returns (P,) bool: True for occluded-return outliers.
 
@@ -119,6 +125,11 @@ def detect_outliers(
     ``ground[cell]`` -- the sorted-scan pipeline supplies it from the Pallas
     lookup kernel (ops/pallas_lookup.py) instead of the serial XLA row
     gather. Values at non-inmap points may differ (masked by ``inmap``).
+
+    ``use_lookup_kernel``: route the march-lattice key reads through the
+    sorted-lookup Pallas kernel (sort lattice cells, look up, sort back by
+    position -- see ``lattice_hits``) instead of XLA row gathers. Requires a
+    Pallas-capable backend (or ``_interpret`` for tests).
     """
     n = config.cell_count
     res = np.float32(config.resolution)
@@ -128,14 +139,20 @@ def detect_outliers(
     k_max = min(config.max_outlier_candidates, int(x.shape[0]))
     tol = np.float32(config.outlier_tolerance)
 
-    # NOTE: the march below keeps the 2-wide pair-table row gather even when
-    # old_h is precomputed -- a 1-wide gather from the flat u32 key table was
-    # measured 4x SLOWER (679 vs 164 us for 95k rows): row gathers of width
-    # >= 2 amortize this backend's per-index overhead.
+    # NOTE: the XLA-gather march keeps the 2-wide pair-table row gather even
+    # when old_h is precomputed -- a 1-wide gather from the flat u32 key
+    # table was measured 4x SLOWER (679 vs 164 us for 95k rows): row gathers
+    # of width >= 2 amortize this backend's per-index overhead. The
+    # lookup-kernel march instead reads the 1-column key table directly
+    # (the kernel's lane gathers have no per-row width penalty), so the
+    # (N*N, 2) pair-table broadcast (~105 us) is skipped entirely when every
+    # lattice call can ride the kernel.
     key_only = old_h is not None
-    pair_table = _pair_table(config, ground, groundpatch, key_only)
+    key_flat = occlusion_key_table(config, ground, groundpatch)
+    pair_table = None
 
     if old_h is None:
+        pair_table = _pair_table(config, ground, groundpatch, key_only)
         flat_cell = jnp.clip(binning.gi0, 0, n - 1) * n + jnp.clip(binning.gi1, 0, n - 1)
         old_h = pair_table[flat_cell][:, 1]  # 2-wide row gather (see _pair_table)
     cand = binning.inmap & ~binning.ignored & (z < old_h - np.float32(0.2))
@@ -206,6 +223,26 @@ def detect_outliers(
     )
     n_far = jnp.sum((trunc_all >= trunc_split).astype(jnp.int32))
 
+    # static chunk geometry (used by lattice_hits gating and the loop below)
+    chunk = min(config.march_chunk, k_max)
+    n_chunks = -(-k_max // chunk)  # static ceil
+    k_far = max(chunk // 4, 128)  # measured best of {k/2, k/4} on TPU
+
+    # the march-lattice table reads: 1-column u32 key table for the
+    # sorted-lookup kernel route; the (N*N, 2) pair table only if some
+    # lattice call must take the XLA row-gather route (its build is a
+    # ~105 us relayout broadcast -- skip it when nothing reads it)
+    key_table_f = lax.bitcast_convert_type(key_flat, jnp.float32)
+    far_steps = max(config.ray_steps - split, 0)
+    lattice_rows = [chunk * (split - 3)]
+    if far_steps:
+        lattice_rows += [k_far * far_steps, chunk * far_steps]
+    needs_xla = (not use_lookup_kernel) or any(
+        r % _LOOKUP_GROUP for r in lattice_rows
+    )
+    if needs_xla and pair_table is None:
+        pair_table = _pair_table(config, ground, groundpatch, key_only)
+
     def lattice_hits(kv, s_lo: int, s_hi: int) -> jax.Array:
         """(k', s_hi-s_lo) march lattice -> per-candidate 0/1 hits.
 
@@ -229,7 +266,30 @@ def detect_outliers(
         inside = (i0 > 0) & (i1 > 0) & (i0 < n - 1) & (i1 < n - 1)
         flat = jnp.clip(i0, 0, n - 1) * n + jnp.clip(i1, 0, n - 1)
         thr = _mono_u32(kk * bvz[:, None] + origin[2] + tol)
-        if key_only:
+        rows = flat.shape[0] * flat.shape[1]
+        if use_lookup_kernel and rows % _LOOKUP_GROUP == 0:
+            # sorted-lookup route: XLA row gathers run ~8 ns/row serial on
+            # this backend, the lookup kernel's lane gathers ~0.5 ns/row on
+            # SORTED cells -- so sort the lattice cells (positions ride as
+            # payload), look up, and sort back by position. Two unstable
+            # 2-operand sorts + the kernel beat the row gather ~2x at
+            # 29696 rows; duplicates are fine (equal cells read equal
+            # values, and the restore key -- the position -- is unique).
+            from groundgrid_tpu.ops.pallas_lookup import sorted_lookup
+
+            flat1 = flat.reshape(-1).astype(jnp.uint32)
+            pos = jnp.arange(rows, dtype=jnp.uint32)
+            cell_s, pos_s = lax.sort((flat1, pos), num_keys=1, is_stable=False)
+            (val_s,) = sorted_lookup(
+                cell_s.astype(jnp.int32), [key_table_f], n * n,
+                interpret=_interpret,
+            )
+            _, val_u = lax.sort(
+                (pos_s, lax.bitcast_convert_type(val_s, jnp.uint32)),
+                num_keys=1, is_stable=False,
+            )
+            key_hit = val_u.reshape(flat.shape) >= thr
+        elif key_only:
             # both table columns hold the key: test in the gather's
             # native (rows, 2) layout -- no column extract/relayout
             pairs = lax.bitcast_convert_type(pair_table[flat], jnp.uint32)
@@ -259,8 +319,6 @@ def detect_outliers(
     # TIER_SPLIT has ``within == False`` at every far step). Under vmap a
     # while_loop runs until every batch lane is done; the fleet path batches
     # with lax.map, which keeps the per-vehicle trip counts independent.
-    chunk = min(config.march_chunk, k_max)
-    n_chunks = -(-k_max // chunk)  # static ceil
     pad_to = n_chunks * chunk
     if pad_to > k_max:
         # padding slots repeat point 0; its budget gathers to its true value
@@ -269,7 +327,6 @@ def detect_outliers(
         pidx = jnp.concatenate(
             [pidx, jnp.zeros((pad_to - k_max,), pidx.dtype)]
         )
-    k_far = max(chunk // 4, 128)  # measured best of {k/2, k/4} on TPU
 
     def chunk_hits(i):
         # per-chunk candidate data: three 1-wide chunk-row gathers + an

@@ -160,3 +160,31 @@ def test_outliers_u32_selection_matches_topk(small_config, small_scans,
     with_topk = outlierlib.detect_outliers(*args)
     assert np.asarray(with_u32).sum() > 0
     np.testing.assert_array_equal(np.asarray(with_u32), np.asarray(with_topk))
+
+
+def test_outliers_lattice_lookup_kernel_matches_gather(small_config, small_scans):
+    """detect_outliers(use_lookup_kernel=True) == the XLA row-gather march.
+
+    The kernel route sorts the march-lattice cells, reads the occlusion key
+    table through sorted_lookup, and unsorts by position; equal cells read
+    equal keys, so the result must be bitwise identical to the row gather.
+    """
+    cfg = small_config
+    n2 = cfg.cell_count ** 2
+    binning, x, y, z, origin = _sorted_binning(cfg, small_scans[0])
+    rng = np.random.default_rng(3)
+    ground = jnp.asarray(
+        (rng.standard_normal((cfg.cell_count,) * 2) + 0.5).astype(np.float32)
+    )
+    groundpatch = jnp.asarray(
+        rng.uniform(0, 1, (cfg.cell_count,) * 2).astype(np.float32)
+    )
+    (old_h,) = sorted_lookup(binning.cell, [ground], n2, interpret=True)
+
+    args = (cfg, jnp.zeros(2), ground, groundpatch, binning, x, y, z, origin)
+    want = outlierlib.detect_outliers(*args, old_h=old_h)
+    got = outlierlib.detect_outliers(
+        *args, old_h=old_h, use_lookup_kernel=True, _interpret=True
+    )
+    assert np.asarray(want).sum() > 0, "test should exercise real candidates"
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
