@@ -57,15 +57,19 @@ def create(config: GroundGridConfig, center_xy, center_z) -> GridState:
     return GridState(ground=ground, groundpatch=groundpatch, center=center_xy)
 
 
-def _snap_cells(x):
+def _snap_cells(x, xp=jnp):
     """Round positions-in-cells to whole cells, half away from zero.
 
     grid_map's ``getIndexShiftFromPositionShift`` computes
     ``static_cast<int>(x + 0.5*sign(x))`` -- half-AWAY-from-zero, not the
     round-half-to-even of ``jnp.round`` (audit finding AUDIT.md #1; an
     exactly-half-cell odometry delta snaps differently under the two rules).
+
+    ``xp``: array module -- ``jnp`` on device, ``np`` for the host-side
+    ``pipeline.CenterTracker`` replica (one rule, one implementation; only
+    the golden oracle keeps its own deliberately independent copy).
     """
-    return jnp.sign(x) * jnp.floor(jnp.abs(x) + 0.5)
+    return xp.sign(x) * xp.floor(xp.abs(x) + 0.5)
 
 
 def index_shift(config: GroundGridConfig, center, new_position):

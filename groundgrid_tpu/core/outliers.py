@@ -137,6 +137,9 @@ def detect_outliers(
     # small scans (tests, decimated feeds) can carry fewer points than the
     # configured candidate cap; every candidate fits in a point-count buffer
     k_max = min(config.max_outlier_candidates, int(x.shape[0]))
+    if k_max == 0:
+        # zero-point scan (or a zero candidate cap): nothing can march
+        return jnp.zeros((x.shape[0],), bool)
     tol = np.float32(config.outlier_tolerance)
 
     # NOTE: the XLA-gather march keeps the 2-wide pair-table row gather even

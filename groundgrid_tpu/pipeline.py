@@ -315,12 +315,13 @@ def _probe_device_ms(step, state, scan, iters: int = 6):
     nondeterministically by the shared compile service) hide inside the
     dispatch noise. The trace reads the executable's actual device duration.
     """
-    import glob
     import tempfile
 
     import numpy as _np
 
     import jax as _jax
+
+    from groundgrid_tpu.utils.profiling import jit_device_ms
 
     tmp = tempfile.mkdtemp(prefix="ggprobe_trace_")
     _jax.profiler.start_trace(tmp)
@@ -330,21 +331,9 @@ def _probe_device_ms(step, state, scan, iters: int = 6):
         state = out[0]
     _ = _np.asarray(out[1].labels)  # force completion inside the window
     _jax.profiler.stop_trace()
-    from jax.profiler import ProfileData
-
-    path = sorted(glob.glob(f"{tmp}/**/*.xplane.pb", recursive=True))[-1]
-    pd_ = ProfileData.from_file(path)
-    totals: dict = {}
-    for plane in pd_.planes:
-        if "TPU" not in plane.name:
-            continue
-        for line in plane.lines:
-            for ev in line.events:
-                if ev.name.startswith("jit_"):
-                    totals[ev.name] = totals.get(ev.name, 0) + ev.duration_ns
-    if not totals:
-        return state, float("inf")
-    return state, max(totals.values()) / iters / 1e6
+    # inf when the trace produced no file / no TPU jit events -- callers
+    # fall back to the wall-probe contract
+    return state, jit_device_ms(tmp, iters)
 
 
 def compile_step_verified(
@@ -398,17 +387,22 @@ def compile_step_verified(
     salts += [1000 + (int(_time.time()) + i) % 100000 for i in range(2)]
     salts = salts[: attempts + 2]
 
-    def write_hint(salt, dev_ms):
+    def write_hint(salt, dev_ms=None):
+        # dev_ms must be an xplane DEVICE time or None: a wall time here
+        # would poison the 15% fast-accept check of later sessions (mild
+        # deopts hide inside wall numbers, so a ~6 ms wall hint would
+        # fast-accept a 2x-slow binary forever)
         try:
             os.makedirs(default_cache_dir(), exist_ok=True)
             with open(hint_path, "w") as f:
-                f.write(f"{salt},{dev_ms:.4f}")
+                f.write(f"{salt}" if dev_ms is None else f"{salt},{dev_ms:.4f}")
         except OSError:
             pass
 
     best = None
     best_dev = float("inf")
     best_salt = None
+    worst_case = (float("inf"), None)  # least-bad (wall_ms, step) fallback
     state = example_state
     probe_iters = 12  # pipelined: per-call host sync would swamp a 1-shot probe
     import numpy as _np
@@ -426,13 +420,16 @@ def compile_step_verified(
         _ = _np.asarray(out[1].labels)
         wall_ms = (_time.perf_counter() - t0) * 1000.0 / probe_iters
         if wall_ms >= threshold_ms:
+            if wall_ms < worst_case[0]:
+                worst_case = (wall_ms, step)
             continue  # catastrophic deopt; next salt
         state, dev_ms = _probe_device_ms(step, state, example_scan)
         if not _np.isfinite(dev_ms):
             # no trace events available (e.g. non-TPU backends reached via
-            # this path in tests): fall back to the wall-probe contract
+            # this path in tests): fall back to the wall-probe contract.
+            # Hint the salt only -- never record wall_ms as a device time.
             if best is None:
-                write_hint(salt, wall_ms)
+                write_hint(salt)
                 return step, wall_ms
             break
         probed += 1
@@ -448,8 +445,9 @@ def compile_step_verified(
     if best is not None:
         write_hint(best_salt, best_dev)
         return best, best_dev
-    # every salt hit the catastrophic filter: return the last compiled step
-    return step, wall_ms
+    # every salt hit the catastrophic filter: return the least-bad one
+    # measured (not whichever happened to compile last)
+    return worst_case[1], worst_case[0]
 
 
 def init_state(config: GroundGridConfig, t_map_velo) -> GridState:
@@ -520,9 +518,9 @@ class CenterTracker:
         """Advance to (the cell-snapped version of) ``position_xy``."""
         delta = np.asarray(position_xy, np.float32) - self.center
         dc = delta / self._res
-        # half-away-from-zero, as grid_map's getIndexShiftFromPositionShift
-        # (int(x + 0.5*sign)); np.round would round half-to-even (AUDIT.md #1)
-        k = (np.sign(dc) * np.floor(np.abs(dc) + 0.5)).astype(np.float32)
+        # half-away-from-zero via the shared device rule (core/grid.py);
+        # np.round would round half-to-even (AUDIT.md #1)
+        k = gridlib._snap_cells(dc, xp=np).astype(np.float32)
         self.center = (self.center + k * self._res).astype(np.float32)
         return self.center
 

@@ -36,10 +36,11 @@ def _device_ms_per_step(step, state, scans, n_distinct: int, iters: int = 8) -> 
     steps. Two untraced re-warm steps put the state back on the forward
     path, then the traced steps stay within the cycle (no wrap).
     """
-    import glob
     import tempfile
 
     import jax
+
+    from groundgrid_tpu.utils.profiling import jit_device_ms
 
     warm = min(2, n_distinct)
     for i in range(warm):  # re-enter the forward path (not traced)
@@ -55,21 +56,10 @@ def _device_ms_per_step(step, state, scans, n_distinct: int, iters: int = 8) -> 
     _ = np.asarray(out.labels)  # force completion inside the trace window
     jax.profiler.stop_trace()
 
-    from jax.profiler import ProfileData
-
-    path = sorted(glob.glob(f"{tmp}/**/*.xplane.pb", recursive=True))[-1]
-    pd = ProfileData.from_file(path)
-    totals = {}
-    for plane in pd.planes:
-        if "TPU" not in plane.name:
-            continue
-        for line in plane.lines:
-            for ev in line.events:
-                if ev.name.startswith("jit_"):
-                    totals[ev.name] = totals.get(ev.name, 0) + ev.duration_ns
-    if not totals:
+    ms = jit_device_ms(tmp, iters)
+    if not np.isfinite(ms):
         raise RuntimeError("no jit_* device events captured")
-    return max(totals.values()) / iters / 1e6
+    return ms
 
 
 def _make_scans(config, n_distinct: int, n_beams=64, n_azimuth=2048, seed=0):
@@ -132,7 +122,7 @@ def run_benchmark(
     # Streaming needs enough DISTINCT consecutive scans that cycling back to
     # scan 0 (a ~n_distinct*1.2 m backward teleport of the grid) is rare: the
     # teleport's damage band floods the outlier-candidate buffer with
-    # below-plane points, and with the honest 4096-candidate cap those
+    # below-plane points, and with the honest 8192-candidate cap those
     # storms now march at full width instead of being shed (round-3 fix) --
     # 8 distinct scans made 1-in-8 steps storm-priced and understated
     # steady-state throughput by ~30%. 32 keeps host prep cheap while the

@@ -510,9 +510,9 @@ def main(argv=None) -> int:
     p_acc.add_argument("--budget-pt", type=float, default=0.1,
                        help="max |delta| in percentage points for exit code 0")
     p_acc.add_argument("--chaos-control", action="store_true",
-                       help="also run golden with a 1-ulp z perturbation to "
-                            "measure the scene's intrinsic metric "
-                            "sensitivity (the racy reference's own "
+                       help="also run golden with a random point-order "
+                            "permutation to measure the scene's intrinsic "
+                            "metric sensitivity (the racy reference's own "
                             "nondeterminism class); deltas within that "
                             "envelope also exit 0")
     p_acc.add_argument("--dimension", type=float, default=120.0)

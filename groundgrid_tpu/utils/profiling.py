@@ -88,6 +88,37 @@ def trace(log_dir: str) -> Iterator[None]:
         jax.profiler.stop_trace()
 
 
+def jit_device_ms(trace_dir: str, iters: int) -> float:
+    """On-device ms per step for the dominant ``jit_*`` executable in a trace.
+
+    Reads the newest ``.xplane.pb`` under ``trace_dir`` and sums TPU-plane
+    ``jit_*`` event durations. Returns ``inf`` when the trace yielded no
+    file or no TPU events (non-TPU backends, profiler hiccups) so callers
+    can fall back to wall probes instead of crashing -- this is the single
+    shared implementation behind ``pipeline._probe_device_ms`` and
+    ``runtime.bench``.
+    """
+    import glob
+
+    paths = sorted(glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True))
+    if not paths:
+        return float("inf")
+    from jax.profiler import ProfileData
+
+    pd = ProfileData.from_file(paths[-1])
+    totals: Dict[str, int] = {}
+    for plane in pd.planes:
+        if "TPU" not in plane.name:
+            continue
+        for line in plane.lines:
+            for ev in line.events:
+                if ev.name.startswith("jit_"):
+                    totals[ev.name] = totals.get(ev.name, 0) + ev.duration_ns
+    if not totals:
+        return float("inf")
+    return max(totals.values()) / max(iters, 1) / 1e6
+
+
 def device_op_times(xplane_path: str, top: int = 25):
     """Aggregate per-op device durations from a captured .xplane.pb file."""
     from jax.profiler import ProfileData

@@ -34,25 +34,15 @@ def trace_config(tag, scans, poses, config, dump_ops=False):
     _ = np.asarray(out.labels)
     jax.profiler.stop_trace()
 
-    from jax.profiler import ProfileData
+    from groundgrid_tpu.utils.profiling import device_op_times, jit_device_ms
 
-    path = sorted(glob.glob(f"{tmp}/**/*.xplane.pb", recursive=True))[-1]
-    pd = ProfileData.from_file(path)
-    totals = {}
-    jit_total = 0
-    for plane in pd.planes:
-        if "TPU" not in plane.name:
-            continue
-        for line in plane.lines:
-            for ev in line.events:
-                if ev.name.startswith("jit_"):
-                    jit_total += ev.duration_ns
-                    continue
-                totals[ev.name] = totals.get(ev.name, 0) + ev.duration_ns
-    ms = jit_total / iters / 1e6
+    ms = jit_device_ms(tmp, iters)
     print(f"[{tag}] jit total {ms:.3f} ms/step over {iters} steps", flush=True)
     if dump_ops:
-        for name, ns in sorted(totals.items(), key=lambda kv: -kv[1])[:30]:
+        path = sorted(glob.glob(f"{tmp}/**/*.xplane.pb", recursive=True))[-1]
+        for name, ns in device_op_times(path, top=40):
+            if name.startswith("jit_"):
+                continue
             print(f"  {ns/iters/1e3:9.1f} us/step  {name[:110]}")
     return ms
 

@@ -226,3 +226,20 @@ def test_classify_with_golden_inputs(small_config, golden_run, scan_idx):
         f"{mismatch.sum()}/{len(expect)} label mismatches; "
         f"first: idx={np.nonzero(mismatch)[0][:10]}"
     )
+
+
+def test_outliers_empty_scan(small_config):
+    """A zero-point scan returns an empty mask (regression: the chunk-count
+    ceil-div used to raise ZeroDivisionError when k_max clamped to 0)."""
+    cfg = small_config
+    n = cfg.cell_count
+    empty = jnp.zeros((0,), jnp.float32)
+    binning = rasterlib.bin_points(
+        cfg, jnp.zeros(2), empty, empty, empty,
+        jnp.zeros((0,), jnp.int32), jnp.zeros((0,), bool), jnp.zeros(3),
+    )
+    out = outlierlib.detect_outliers(
+        cfg, jnp.zeros(2), jnp.zeros((n, n)), jnp.zeros((n, n)),
+        binning, empty, empty, empty, jnp.zeros(3),
+    )
+    assert out.shape == (0,) and out.dtype == bool
