@@ -130,13 +130,22 @@ def build_parts(cell, cols, exact):
     return b.astype(jnp.bfloat16), tuple(spans)
 
 
-def _make_kernel(rows: int):
-    def _kernel(row_lo_ref, row_hi_ref, cell_ref, b_hbm, sums_ref, b_buf, sems):
+def _make_kernel(rows: int, spans: tuple):
+    c_pad = rows // NW
+    offs = []  # static (offset, span) per logical column
+    o = 0
+    for span in spans:
+        offs.append((o, span))
+        o += span
+
+    def _kernel(row_lo_ref, row_hi_ref, cell_ref, b_hbm, *refs):
+        out_refs = refs[: len(spans)]
+        acc_ref, b_buf, sems = refs[len(spans) :]
         g = pl.program_id(0)
         lo = row_lo_ref[g]
         nch = row_hi_ref[g] - lo
 
-        sums_ref[:] = jnp.zeros_like(sums_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
 
         r_iota = lax.broadcasted_iota(jnp.int32, (128, ROW), 0)
 
@@ -166,12 +175,18 @@ def _make_kernel(rows: int):
             # produces in natural row-major layout (P on lanes). A is exactly
             # 0/1 and every B part is bf16-exact, so the bf16 products are
             # exact and part-sums reconstruct the f32 matmul exactly.
+            # B is the LEFT operand so the accumulator lands part-major
+            # (rows, 128-lo): the per-column part combine then happens on
+            # SUBLANE slices in-kernel, and each logical column streams out
+            # as its own contiguous cell-major array -- no (g, 128, NW,
+            # c_pad) transpose relayout and no width-1 lane extracts in the
+            # XLA unpack (O(N^2) costs that dominated the 1200^2 grid).
             s = lax.dot_general(
-                a, b_buf[slot],
+                b_buf[slot], a,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (128, rows)
-            sums_ref[:] += s
+            )  # (rows, 128)
+            acc_ref[:] += s
 
         # 4-deep DMA pipeline, statically unrolled (slots MUST be static:
         # dynamic .at[slot] scratch indexing miscompiles -- see module
@@ -195,6 +210,18 @@ def _make_kernel(rows: int):
             return 0
 
         lax.fori_loop(0, (nch + NBUF - 1) // NBUF, body, 0)
+
+        # part combine + store: out[k][w] = sum_j acc[w*c_pad + off_k + j]
+        # (static sublane slices; add order matches the old XLA unpack's
+        # left-to-right part sum, so results are bitwise identical)
+        for k, (off, span) in enumerate(offs):
+            for w in range(NW):
+                col = acc_ref[w * c_pad + off : w * c_pad + off + 1, :]
+                for j in range(1, span):
+                    col = col + acc_ref[
+                        w * c_pad + off + j : w * c_pad + off + j + 1, :
+                    ]
+                out_refs[k][w : w + 1, :] = col
 
     return _kernel
 
@@ -233,15 +260,25 @@ def raster_sums(cell_sorted, cols, exact, n2: int, interpret: bool = False):
     c_pad = rows // NW  # includes the build's zero-padding parts
 
     # chunk-row range per block: points with cell in [g*CB, (g+1)*CB).
-    # searchsorted is NOT used: XLA lowers it to a ~56 us serial while-loop;
-    # on sorted input the insertion point is just a count, and the broadcast
-    # compare + reduce fuses into one ~17 us vector op.
+    # searchsorted is NOT used: XLA lowers it to a ~56 us serial while-loop.
+    # The ranges are only needed at CHUNK granularity, so the count compares
+    # per-chunk first/last cells (sorted input: chunk min/max) against the
+    # block bounds -- (g_blocks+1, n_chunks) elements instead of the
+    # (g_blocks+1, P) point-level compare, which is O(N^2 * P) and costs
+    # ~190 us at the 1200^2 stress grid (~17 us at 364^2).
+    #   row_lo[g] = #chunks entirely below g*CB   (= pt[g] // CHUNK)
+    #   row_hi[g] = #chunks with any cell < (g+1)*CB (= ceil-div of pt[g+1])
     bounds = jnp.arange(g_blocks + 1, dtype=jnp.int32) * CB
-    pt = jnp.sum(
-        (cell_sorted[None, :] < bounds[:, None]).astype(jnp.int32), axis=1
+    # sorted: a chunk's first/last element are its min/max (strided 1-D
+    # slices, not a (nch, CHUNK) reshape -- minor dim 512 would relayout)
+    cmin = lax.slice(cell_sorted, (0,), (p,), (CHUNK,))
+    cmax = lax.slice(cell_sorted, (CHUNK - 1,), (p,), (CHUNK,))
+    row_lo = jnp.sum(
+        (cmax[None, :] < bounds[:-1, None]).astype(jnp.int32), axis=1
     ).astype(jnp.int32)
-    row_lo = pt[:-1] // CHUNK
-    row_hi = jnp.minimum((pt[1:] + CHUNK - 1) // CHUNK, nch_total)
+    row_hi = jnp.sum(
+        (cmin[None, :] < bounds[1:, None]).astype(jnp.int32), axis=1
+    ).astype(jnp.int32)
     row_hi = jnp.maximum(row_hi, row_lo)
 
     # minor dim ROW=128: these reshapes are bitcasts, not relayout copies
@@ -253,29 +290,28 @@ def raster_sums(cell_sorted, cols, exact, n2: int, interpret: bool = False):
         pl.BlockSpec(memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pl.ANY),  # b_all off-core; DMA'd
     ]
-    sums = pl.pallas_call(
-        _make_kernel(rows),
+    # one contiguous cell-major output PER logical column: block g covers
+    # cells [g*CB, (g+1)*CB) as an (NW, 128) tile; the (n_pad//128, 128) ->
+    # (n_pad,) reshape below is a pure bitcast, so callers read each column
+    # without any relayout (the old single (g_blocks*128, rows) output
+    # needed an O(N^2) transpose + width-1 lane extracts to unpack)
+    outs = pl.pallas_call(
+        _make_kernel(rows, spans),
         grid=(g_blocks,),
-        out_shape=jax.ShapeDtypeStruct((g_blocks * 128, rows), jnp.float32),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((n_pad // 128, 128), jnp.float32)
+            for _ in spans
+        ),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((128, rows), lambda g: (g, 0), memory_space=pltpu.VMEM),
+        out_specs=tuple(
+            pl.BlockSpec((NW, 128), lambda g: (g, 0), memory_space=pltpu.VMEM)
+            for _ in spans
+        ),
         scratch_shapes=[
+            pltpu.VMEM((rows, 128), jnp.float32),  # part-major accumulator
             pltpu.VMEM((NBUF, rows, CHUNK), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
         interpret=interpret,
     )(row_lo, row_hi, cell2d, b_all)
-
-    # unpack [g*128 + lo, C_pad*w + j] -> cell-major (n_pad, C_pad), then
-    # combine each column's parts (exact reconstruction: disjoint bf16 splits)
-    sums = sums.reshape(g_blocks, 128, NW, c_pad).transpose(0, 2, 1, 3)
-    sums = sums.reshape(n_pad, c_pad)
-    out_cols = []
-    o = 0
-    for span in spans:
-        col = sums[:, o]
-        for j in range(1, span):
-            col = col + sums[:, o + j]
-        out_cols.append(col[:n2])
-        o += span
-    return tuple(out_cols)
+    return tuple(o.reshape(n_pad)[:n2] for o in outs)
