@@ -104,6 +104,16 @@ def test_kernel_edge_distributions():
         (1024 * rng.integers(0, n2 // 1024, p) + rng.integers(-2, 3, p)).clip(0, n2)
     ).astype(np.int32)
     _check(cell, vals, n2)
+    # block boundaries aligned EXACTLY at chunk edges: each CHUNK-point run
+    # sits in one block (exercises the chunk-granularity row_lo/row_hi
+    # boundary cases -- a chunk fully below a bound vs first cell at it)
+    from groundgrid_tpu.ops.pallas_raster import CHUNK
+
+    cell = np.repeat(
+        np.array([1023, 1024, 2048, 4096], np.int32), p // 4
+    )
+    assert (p // 4) % CHUNK == 0 or p % CHUNK == 0
+    _check(np.sort(cell), vals, n2)
 
 
 def test_seg_end_reduce():
