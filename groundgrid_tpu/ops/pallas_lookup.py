@@ -46,29 +46,48 @@ GROUP = 1024  # points per grid step: one (8, 128) register tile
 NW = 8  # 128-cell groups per table block (CB / 128)
 
 
-def _kernel(ncols, b0_ref, b1_ref, cell_ref, tbl_ref, *out_refs):
+def _unroll(g_blocks: int) -> int:
+    """Table blocks per loop iteration.
+
+    The block loop is ITERATION-overhead-bound at large grids (the 1200^2
+    stress table spans ~1400 blocks and the span term dominates the visit
+    bound): unroll=4 measured 200 -> 123 us/call there, while the default
+    364^2 grid is flat across 1/2/4 (40.3/39.8/43.4 us). Blocks past b1 (or
+    the table end, which the clamped read keeps in-bounds) contribute
+    nothing because the ``blk == b`` membership mask uses the UNclamped id.
+    """
+    return 4 if g_blocks > 256 else 2
+
+
+def _kernel(ncols, g_blocks, b0_ref, b1_ref, cell_ref, tbl_ref, *out_refs):
     i = pl.program_id(0)
     cells = cell_ref[...]  # (8, 128) int32, any values in [0, G*CB)
     w = (cells // 128) % NW
     lo = cells % 128
     blk = cells // CB
 
-    def body(b, accs):
-        tile = tbl_ref[b]  # (NW * ncols, 128)
-        inb = blk == b
+    unroll = _unroll(g_blocks)
+
+    def body(t, accs):
         accs = list(accs)
-        for wi in range(NW):
-            m = inb & (w == wi)
-            for c in range(ncols):
-                row = tile[c * NW + wi : c * NW + wi + 1, :]  # (1, 128)
-                vals = jnp.take_along_axis(
-                    jnp.broadcast_to(row, (GROUP // 128, 128)), lo, axis=1
-                )
-                accs[c] = jnp.where(m, vals, accs[c])
+        for u in range(unroll):
+            b = unroll * t + u
+            tile = tbl_ref[jnp.minimum(b, g_blocks - 1)]  # (NW * ncols, 128)
+            inb = blk == b
+            for wi in range(NW):
+                m = inb & (w == wi)
+                for c in range(ncols):
+                    row = tile[c * NW + wi : c * NW + wi + 1, :]  # (1, 128)
+                    vals = jnp.take_along_axis(
+                        jnp.broadcast_to(row, (GROUP // 128, 128)), lo, axis=1
+                    )
+                    accs[c] = jnp.where(m, vals, accs[c])
         return tuple(accs)
 
     init = tuple(jnp.zeros((GROUP // 128, 128), jnp.float32) for _ in range(ncols))
-    accs = lax.fori_loop(b0_ref[i], b1_ref[i] + 1, body, init)
+    accs = lax.fori_loop(
+        b0_ref[i] // unroll, b1_ref[i] // unroll + 1, body, init
+    )
     for c in range(ncols):
         out_refs[c][...] = accs[c]
 
@@ -110,7 +129,7 @@ def sorted_lookup(cell_sorted, tables, n2: int, interpret: bool = False):
     cell2d = cell_sorted.reshape(p // 128, 128)
 
     outs = pl.pallas_call(
-        functools.partial(_kernel, ncols),
+        functools.partial(_kernel, ncols, g_blocks),
         grid=(ng,),
         out_shape=tuple(
             jax.ShapeDtypeStruct((p // 128, 128), jnp.float32) for _ in range(ncols)

@@ -448,13 +448,16 @@ def _spiral_kernel(config: GroundGridConfig, pad,
             c_rows = [sc_c[s : s + 1, pl.ds(woff, wlen)] for s in range(3)]
             carry = (h_rows[0], c_rows[0], h_rows[1], c_rows[1],
                      h_rows[2], h_rows[3], c_rows[2])
-        # ring subranges: hoisting needs k >= HOIST_MIN; the extra cut where
-        # the max walk length crosses the radix-4 scan-span boundary
-        # (2k+3 <= 256 iff k <= 126) gives shorter rings one fewer level
+        # ring subranges: hoisting needs k >= HOIST_MIN; extra cuts at every
+        # radix-4 scan-span boundary (walk length 2k+3 crosses 4^m at
+        # k = 7, 31, 127, 511) give each shorter-ring range one fewer
+        # sequential scan level -- at 1200^2 the 511 cut alone saves a level
+        # on 384 rings (the single-cut version ran rings 127-510 at the
+        # 6-level span of ring 599)
         cuts = sorted({
             k_start,
             min(max(k_start, HOIST_MIN), k_stop),
-            min(max(k_start, 127), k_stop),
+            *(min(max(k_start, c), k_stop) for c in (7, 31, 127, 511)),
             k_stop,
         })
         for a, b in zip(cuts, cuts[1:]):
