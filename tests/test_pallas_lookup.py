@@ -54,6 +54,31 @@ def test_lookup_edge_distributions():
         np.testing.assert_array_equal(np.asarray(out), _ref(cell, t, n2))
 
 
+def test_lookup_large_table_unroll4():
+    """Tables > 256 blocks take the 4x-unrolled block loop (the 1200^2
+    stress path): membership masks must ignore the clamped over-reads at the
+    table end, and b0//unroll rounding must not skip a candidate block."""
+    from groundgrid_tpu.ops import pallas_lookup as pl_mod
+
+    rng = np.random.default_rng(4)
+    n2 = 600 * 600  # 352 blocks > 256 => unroll = 4
+    assert pl_mod._unroll(-(-n2 // 1024)) == 4
+    p = 2048
+    t = rng.standard_normal(n2).astype(np.float32)
+    # mix: uniform spread, last-block hits (clamp path), odd block starts
+    cell = np.sort(
+        np.concatenate(
+            [
+                rng.integers(0, n2 + 1, p - 256),
+                rng.integers(n2 - 1024, n2 + 1, 128),  # table tail + overflow
+                1024 * rng.integers(0, n2 // 1024, 128) + 1023,  # block edges
+            ]
+        )
+    ).astype(np.int32)
+    (out,) = sorted_lookup(jnp.asarray(cell), [jnp.asarray(t)], n2, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), _ref(cell, t, n2))
+
+
 def _sorted_binning(cfg, scan):
     pts, labels, T = scan
     mv, _, _ = tf.scan_poses(T)
