@@ -75,6 +75,18 @@ class GoldenGroundGrid:
         self.snapshots: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         self.last_outliers: list[int] = []
         self.last_ignored: list[int] = []
+        # MEASUREMENT-HARNESS control, never set by parity tests: when > 0,
+        # the per-scan variance map is nudged by +-N float32 ulps (random
+        # sign per cell, deterministic seed) before detection. Any two valid
+        # float32 roundings of the same real-arithmetic variance (sequential
+        # Welford vs a parallel two-pass sum, or two summation orders)
+        # differ by exactly this noise class, and detect thresholds it
+        # (GroundSegmentation.cpp:369-382), so golden-vs-perturbed-golden
+        # metric deltas measure the algorithm's intrinsic rounding-tie
+        # sensitivity -- the envelope the accuracy benchmark compares the
+        # pipeline delta against (eval/accuracy.py chaos control).
+        self.chaos_variance_ulps: int = 0
+        self._chaos_rng = np.random.default_rng(0xC4A05)
 
     # ------------------------------------------------------------------ grid
     def _index(self, xy: np.ndarray) -> np.ndarray:
@@ -230,6 +242,18 @@ class GoldenGroundGrid:
 
         # ---- stage 2: variance + patch detection (GroundSegmentation.cpp:314-395)
         variance = m2 / (points + FLT_MIN)
+        if self.chaos_variance_ulps:  # harness control only (see __init__)
+            # only nonzero variances: exact zeros (empty / single-point
+            # cells) are exactly zero under ANY valid rounding, so nudging
+            # them would spuriously flip the maxVar > 0 test
+            direction = np.where(
+                self._chaos_rng.random(variance.shape) < 0.5,
+                np.float32(-np.inf), np.float32(np.inf),
+            )
+            nudged = variance
+            for _ in range(self.chaos_variance_ulps):
+                nudged = np.nextafter(nudged, direction, dtype=np.float32)
+            variance = np.where(variance > 0, nudged, variance)
         self._detect_ground_patches(points, variance, min_gh)
         self.snapshots["post_detect"] = (st.ground.copy(), st.groundpatch.copy())
 

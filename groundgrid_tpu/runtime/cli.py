@@ -422,7 +422,7 @@ def cmd_accuracy(args) -> int:
         n_azimuth=args.azimuth, step_m=args.step,
         adversarial=not args.benign,
         progress=lambda s: print(s, file=sys.stderr, flush=True),
-        chaos_control=args.chaos_control,
+        chaos_control=(args.chaos_mode if args.chaos_control else False),
     )
     report = format_accuracy_report(result)
     if args.output:
@@ -510,11 +510,16 @@ def main(argv=None) -> int:
     p_acc.add_argument("--budget-pt", type=float, default=0.1,
                        help="max |delta| in percentage points for exit code 0")
     p_acc.add_argument("--chaos-control", action="store_true",
-                       help="also run golden with a random point-order "
-                            "permutation to measure the scene's intrinsic "
-                            "metric sensitivity (the racy reference's own "
-                            "nondeterminism class); deltas within that "
-                            "envelope also exit 0")
+                       help="also run a perturbed golden to measure the "
+                            "scene's intrinsic metric sensitivity (see "
+                            "--chaos-mode); deltas within that envelope "
+                            "also exit 0")
+    p_acc.add_argument("--chaos-mode", choices=("ulp", "perm"),
+                       default="ulp",
+                       help="ulp: +-1-ulp variance nudge (the rounding-tie "
+                            "class that separates any two valid engines); "
+                            "perm: point-order permutation (the racing-"
+                            "thread order class; measured bitwise-stable)")
     p_acc.add_argument("--dimension", type=float, default=120.0)
     p_acc.add_argument("--resolution", type=float, default=0.33)
     p_acc.add_argument("--max-points", type=int, default=131072)
