@@ -280,6 +280,27 @@ def center_edge_ds(center64, half: float):
     return f64_to_ds(s64)
 
 
+def two_prod_int_const(m, c, ch, cl, xp=jnp):
+    """Exact two-product p + e == m * c for INTEGER-VALUED f32 ``m``
+    (|m| < 2^21) and a host constant ``c`` presplit as ``ch + cl``
+    (:func:`split` with xp=np).
+
+    Barrier-free: integers split exactly with a power-of-two scale (no
+    rounding for FMA contraction to change), and the constant's split
+    happened on the host. mh is the NEAREST multiple of 2^11 (floor-based
+    splitting would put mh ~ 2^11 away from small |m|, violating the
+    magnitude ordering Dekker's error sequence needs), so mh carries <= 11
+    significant bits and |ml| <= 2^10 -- every partial product below is
+    exact in f32 and every intermediate sum is representable.
+    """
+    p = m * c
+    # nearest multiple of 2^11: m * 2^-11 + 0.5 is exact for |m| < 2^21
+    mh = xp.floor(m * np.float32(2.0 ** -11) + np.float32(0.5)) * np.float32(2.0 ** 11)
+    ml = m - mh
+    e = ((mh * ch - p) + mh * cl + ml * ch) + ml * cl
+    return p, e
+
+
 def ds_bin(sh, sl, x, rh, rl, inv_res, xp=jnp):
     """Faithful cell index: floor((s - x) / res) with s, res as ds pairs.
 
@@ -302,9 +323,13 @@ def ds_bin(sh, sl, x, rh, rl, inv_res, xp=jnp):
     """
     relh, rell = ds_add_f32(sh, sl, -x)
     m = xp.floor(relh * inv_res)
-    # diff = rel - m*res, all products exact (m is an exact small integer)
-    p1h, p1l = two_prod(m, rh, xp)
-    p2h, p2l = two_prod(m, rl, xp)
+    # diff = rel - m*res, all products exact (m is an exact small integer;
+    # rh/rl are host constants, so both products avoid the Dekker split's
+    # device-side optimization barrier -- this keeps the binning fusable)
+    rhh, rhl = split(np.float32(rh), xp=np)
+    rlh, rll = split(np.float32(rl), xp=np)
+    p1h, p1l = two_prod_int_const(m, np.float32(rh), rhh, rhl, xp)
+    p2h, p2l = two_prod_int_const(m, np.float32(rl), rlh, rll, xp)
     dh, dl = ds_add(relh, rell, -p1h, -p1l)
     dh, dl = ds_add(dh, dl, -p2h, -p2l)
     below = ds_lt0(dh, dl)  # rel < m*res  -> true floor is m-1

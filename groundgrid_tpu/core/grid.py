@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from groundgrid_tpu.config import GroundGridConfig
+from groundgrid_tpu.core import exactf32
 
 
 class GridState(NamedTuple):
@@ -36,11 +37,19 @@ class GridState(NamedTuple):
       groundpatch: (N, N) f32 ground confidence in [0, 1].
       center:      (2,) f32 grid center position [m, map frame]; moves on a
                    cell-aligned lattice after creation (grid_map semantics).
+      center_lo:   (2,) f32 double-single tail of the f64 grid center
+                   (``center + center_lo`` tracks grid_map's double-precision
+                   center to ~2^-48 relative). Consumed only by the
+                   discontinuous decisions -- cell binning and the ray-march
+                   lattice (core/exactf32.ds_bin); all smooth math reads the
+                   f32 ``center``. ``None`` degrades to a zero tail (legacy
+                   f32-center construction).
     """
 
     ground: jax.Array
     groundpatch: jax.Array
     center: jax.Array
+    center_lo: jax.Array | None = None
 
 
 def create(config: GroundGridConfig, center_xy, center_z) -> GridState:
@@ -49,12 +58,23 @@ def create(config: GroundGridConfig, center_xy, center_z) -> GridState:
     ground := odom z everywhere, groundpatch := 1e-7
     (GroundGrid.cpp:71-75). ``points``/min/max layers of the reference are
     per-scan scratch here and have no persistent equivalent.
+
+    ``center_xy``: pass the float64 odometry position (as the reference's
+    grid_map does, GroundGrid.cpp:58) to seed the ds center exactly; an f32
+    input seeds a zero tail.
     """
     n = config.cell_count
+    lo = np.zeros((2,), np.float32)
+    if isinstance(center_xy, np.ndarray) and center_xy.dtype == np.float64:
+        hi, lo = exactf32.f64_to_ds(center_xy)
+        center_xy = hi
     center_xy = jnp.asarray(center_xy, dtype=jnp.float32)
     ground = jnp.full((n, n), jnp.asarray(center_z, jnp.float32))
     groundpatch = jnp.full((n, n), 1e-7, dtype=jnp.float32)
-    return GridState(ground=ground, groundpatch=groundpatch, center=center_xy)
+    return GridState(
+        ground=ground, groundpatch=groundpatch, center=center_xy,
+        center_lo=jnp.asarray(lo, jnp.float32),
+    )
 
 
 def _snap_cells(x, xp=jnp):
@@ -88,8 +108,35 @@ def index_shift(config: GroundGridConfig, center, new_position):
     return k, new_center
 
 
+def index_shift_ds(config: GroundGridConfig, center, center_lo, new_position):
+    """:func:`index_shift` with the ds center recurrence.
+
+    Mirrors grid_map's double-precision ``center += k * resolution``
+    (GroundGrid.cpp:97 via getPosition math) to ~2^-47: k times the ds image
+    of the f64 resolution, accumulated into the (hi, lo) center pair. The
+    shift ``k`` itself snaps from the f32 delta -- centers move on an exact
+    cell lattice, so the snap is >5 orders of magnitude away from its
+    half-cell decision boundary and the f32 form cannot misround it.
+    Returns (k (2,) i32, new_center (2,) f32, new_center_lo (2,) f32).
+    """
+    res = np.float32(config.resolution)
+    delta = jnp.asarray(new_position, jnp.float32) - center
+    k = _snap_cells(delta / res).astype(jnp.int32)
+    kf = k.astype(jnp.float32)
+    rh, rl, _ = exactf32.res_ds(config.resolution)
+    rhh, rhl = exactf32.split(rh, xp=np)
+    rlh, rll = exactf32.split(rl, xp=np)
+    if center_lo is None:
+        center_lo = jnp.zeros_like(center)
+    p1h, p1l = exactf32.two_prod_int_const(kf, rh, rhh, rhl)
+    p2h, p2l = exactf32.two_prod_int_const(kf, rl, rlh, rll)
+    nh, nl = exactf32.ds_add(center, center_lo, p1h, p1l)
+    nh, nl = exactf32.ds_add(nh, nl, p2h, p2l)
+    return k, nh, nl
+
+
 def move(config: GroundGridConfig, state: GridState, new_position, t_base_map,
-         new_center=None) -> GridState:
+         new_center=None, new_center_lo=None) -> GridState:
     """Relocate the grid to track the ego vehicle (``GroundGrid::update``).
 
     * content shifts by whole cells via ``jnp.roll`` (replaces grid_map's
@@ -103,18 +150,25 @@ def move(config: GroundGridConfig, state: GridState, new_position, t_base_map,
     the same early-return semantics as GroundGrid.cpp:136-137, without host
     control flow.
 
-    ``new_center`` (optional, (2,) f32): host-authoritative center for this
-    step. In sorted-scan mode the host pre-sorts points by their cell id, so
-    the device must bin against the *exact same* f32 center the host used --
-    fp-identical recomputation on device cannot be guaranteed (XLA may form
-    FMAs under --xla_allow_excess_precision). The shift is derived from the
-    center delta instead (robust: centers differ by exact cell multiples).
+    ``new_center`` / ``new_center_lo`` (optional, (2,) f32 each): the
+    host-authoritative ds center for this step. In sorted-scan mode the host
+    pre-sorts points by their cell id, so the device must bin against the
+    *exact same* ds center pair the host used -- fp-identical recomputation
+    on device cannot be guaranteed (XLA may form FMAs under
+    --xla_allow_excess_precision). The shift is derived from the hi-center
+    delta instead (robust: centers differ by exact cell multiples).
     """
     n = config.cell_count
     if new_center is None:
-        k, new_center = index_shift(config, state.center, new_position)
+        k, new_center, new_center_lo = index_shift_ds(
+            config, state.center, state.center_lo, new_position
+        )
     else:
         new_center = jnp.asarray(new_center, jnp.float32)
+        if new_center_lo is None:
+            new_center_lo = jnp.zeros((2,), jnp.float32)
+        else:
+            new_center_lo = jnp.asarray(new_center_lo, jnp.float32)
         res = np.float32(config.resolution)
         k = _snap_cells((new_center - state.center) / res).astype(jnp.int32)
 
@@ -130,7 +184,10 @@ def move(config: GroundGridConfig, state: GridState, new_position, t_base_map,
 
     ground = jnp.where(exposed, -z_base, ground)
     groundpatch = jnp.where(exposed, 0.0, groundpatch)
-    return GridState(ground=ground, groundpatch=groundpatch, center=new_center)
+    return GridState(
+        ground=ground, groundpatch=groundpatch, center=new_center,
+        center_lo=new_center_lo,
+    )
 
 
 def exposed_mask(n: int, k):

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from groundgrid_tpu.config import GroundGridConfig
+from groundgrid_tpu.core import exactf32
 
 FLT_MAX = np.float32(np.finfo(np.float32).max)
 FLT_TINY = np.float32(np.finfo(np.float32).tiny)  # C++ FLT_MIN
@@ -57,29 +58,58 @@ class Binning(NamedTuple):
     sqdist: jax.Array  # (P,) f32 squared xy distance to sensor origin
 
 
-def bin_points(config: GroundGridConfig, center, x, y, z, rings, valid, origin) -> Binning:
+def faithful_cells(config: GroundGridConfig, center, center_lo, x, y, xp=jnp):
+    """(gi0, gi1) int32 cell indices, faithful to the f64 oracle binning.
+
+    Evaluates grid_map's double-precision ``getIndexFromPosition`` --
+    ``floor((center + half - coord) / res)`` in f64 (golden.py ``_index``) --
+    via double-single arithmetic (core/exactf32.ds_bin): exact outside a
+    ~2^-46|center| band around each cell edge, the same order as the f64
+    oracle's own rounding. Backend-agnostic and bit-identical between
+    ``xp=jnp`` (the device pipeline) and ``xp=np`` (the sorted-scan host
+    prep, pipeline.predict_cells) by running the identical f32 op sequence.
+
+    ``center_lo``: the ds tail of the f64 center (GridState.center_lo);
+    ``None`` degrades to a zero tail (an exactly-f32 center).
+    """
+    rh, rl, inv = exactf32.res_ds(config.resolution)
+    half = np.float32(config.half_length)
+    if center_lo is None:
+        cl0 = cl1 = np.float32(0.0)
+    else:
+        cl0, cl1 = center_lo[0], center_lo[1]
+    sh0, sl0 = exactf32.ds_add_f32(center[0], cl0, half)
+    sh1, sl1 = exactf32.ds_add_f32(center[1], cl1, half)
+    gi0 = exactf32.ds_bin(sh0, sl0, x, rh, rl, inv, xp)
+    gi1 = exactf32.ds_bin(sh1, sl1, y, rh, rl, inv, xp)
+    return gi0, gi1
+
+
+def bin_points(config: GroundGridConfig, center, x, y, z, rings, valid, origin,
+               center_lo=None) -> Binning:
     """Assign points to cells, flag ignored points.
 
     Ignore rule (GroundSegmentation.cpp:237-240): ring > max_ring or squared
     xy distance to the sensor below 12 m^2; such points skip all statistics
     but are still classified at the end (re-added, :150).
 
-    The cell index multiplies by a precomputed f32 reciprocal instead of
-    dividing: TPU f32 division lowers to reciprocal+refinement and is not
-    bit-identical to IEEE division, but multiplication is exact -- this is
-    what lets the sorted-scan host prep (pipeline.predict_cells) predict the
-    device's cell ids bitwise.
+    Binning is the f64-faithful ds form (:func:`faithful_cells`) -- the
+    round-2 f32 reciprocal-multiply form mis-binned 4-8 near-edge points per
+    ~100k-point scan vs the oracle, the dominant accuracy-divergence seed
+    (ACCURACY.md). The sorted-scan host prep (pipeline.predict_cells) runs
+    the identical op sequence, so host and device cell ids stay bitwise
+    equal. The squared-distance products are barrier-pinned: the oracle sums
+    two separately-rounded f32 squares, and an XLA FMA contraction here
+    would flip the 12 m^2 near-field ignore test one ulp early.
     """
     n = config.cell_count
-    inv_res = np.float32(1.0) / np.float32(config.resolution)
-    half = np.float32(config.half_length)
-    gi0 = jnp.floor(((center[0] + half) - x) * inv_res).astype(jnp.int32)
-    gi1 = jnp.floor(((center[1] + half) - y) * inv_res).astype(jnp.int32)
+    gi0, gi1 = faithful_cells(config, center, center_lo, x, y)
     inmap = (gi0 >= 0) & (gi0 < n) & (gi1 >= 0) & (gi1 < n) & valid
     cell = jnp.where(inmap, gi0 * n + gi1, n * n).astype(jnp.int32)
     dx = x - origin[0]
     dy = y - origin[1]
-    sqdist = dx * dx + dy * dy
+    dx2, dy2 = exactf32.barrier((dx * dx, dy * dy))
+    sqdist = dx2 + dy2
     ignored = inmap & (
         (rings > config.max_ring) | (sqdist < np.float32(config.min_dist_squared))
     )

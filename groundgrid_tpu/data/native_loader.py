@@ -69,7 +69,7 @@ def load_library(auto_build: bool = True) -> Optional[ctypes.CDLL]:
     lib.gg_loader_create_sorted.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int32, ctypes.POINTER(ctypes.c_double),
-        ctypes.POINTER(ctypes.c_float), ctypes.c_float, ctypes.c_float,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_double, ctypes.c_float,
         ctypes.c_int32,
     ]
     lib.gg_loader_next_sorted.restype = ctypes.c_int64
@@ -229,14 +229,17 @@ class WirePrefetchingLoader:
         self._poses = np.ascontiguousarray(
             np.stack([np.asarray(dataset.poses[i], np.float64) for i in range(n)])
         )
-        centers = np.empty((n, 2), np.float32)
+        centers64 = np.empty((n, 2), np.float64)
         tracker = None
         for i in range(n):
-            pos = self._poses[i, :2, 3].astype(np.float32)
+            pos = self._poses[i, :2, 3].astype(np.float64)
             if tracker is None:
                 tracker = CenterTracker(config, pos)
-            centers[i] = tracker.update(pos)
-        self._centers = np.ascontiguousarray(centers)
+            centers64[i] = tracker.update(pos)
+        self._centers64 = np.ascontiguousarray(centers64)
+        # ds images shipped to the device (Scan.center / Scan.center_lo)
+        from groundgrid_tpu.core.exactf32 import f64_to_ds
+        self._chi, self._clo = f64_to_ds(centers64)
 
         self._lib = load_library()
         self._handle = None
@@ -245,8 +248,8 @@ class WirePrefetchingLoader:
                 self._lib.gg_loader_create_wire(
                     self.ds.root.encode(), n, cap, n_threads, queue_depth,
                     self._poses.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-                    self._centers.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                    ctypes.c_float(config.resolution),
+                    self._centers64.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                    ctypes.c_double(config.resolution),
                     ctypes.c_float(config.half_length),
                     config.cell_count,
                 )
@@ -279,7 +282,7 @@ class WirePrefetchingLoader:
                 rec = self.ds.read_scan(idx)
                 w, order = prepare_scan_wire(
                     cfg, rec.points[:, :3], rec.labels, rec.t_map_velo,
-                    self._centers[idx],
+                    self._centers64[idx],
                 )
                 count = min(rec.points.shape[0], self.cap)
                 yield PreparedRecord(
@@ -315,7 +318,8 @@ class WirePrefetchingLoader:
                 t_map_velo=jnp.asarray(np.asarray(mv, np.float32)),
                 t_map_base=jnp.asarray(np.asarray(mb, np.float32)),
                 t_base_map=jnp.asarray(np.asarray(bm, np.float32)),
-                center=jnp.asarray(self._centers[idx]),
+                center=jnp.asarray(self._chi[idx]),
+                center_lo=jnp.asarray(self._clo[idx]),
             )
             restored = np.empty((self.cap,), np.int32)
             restored[order] = self._lab.astype(np.int32)
@@ -368,14 +372,17 @@ class SortedPrefetchingLoader:
         self._poses = np.ascontiguousarray(
             np.stack([np.asarray(dataset.poses[i], np.float64) for i in range(n)])
         )
-        centers = np.empty((n, 2), np.float32)
+        centers64 = np.empty((n, 2), np.float64)
         tracker = None
         for i in range(n):
-            pos = self._poses[i, :2, 3].astype(np.float32)
+            pos = self._poses[i, :2, 3].astype(np.float64)
             if tracker is None:
                 tracker = CenterTracker(config, pos)
-            centers[i] = tracker.update(pos)
-        self._centers = np.ascontiguousarray(centers)
+            centers64[i] = tracker.update(pos)
+        self._centers64 = np.ascontiguousarray(centers64)
+        # ds images shipped to the device (Scan.center / Scan.center_lo)
+        from groundgrid_tpu.core.exactf32 import f64_to_ds
+        self._chi, self._clo = f64_to_ds(centers64)
 
         self._lib = load_library()
         self._handle = None
@@ -384,8 +391,8 @@ class SortedPrefetchingLoader:
                 self._lib.gg_loader_create_sorted(
                     self.ds.root.encode(), n, cap, n_threads, queue_depth,
                     self._poses.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
-                    self._centers.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                    ctypes.c_float(config.resolution),
+                    self._centers64.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                    ctypes.c_double(config.resolution),
                     ctypes.c_float(config.half_length),
                     config.cell_count,
                 )
@@ -419,7 +426,7 @@ class SortedPrefetchingLoader:
                 rec = self.ds.read_scan(idx)
                 scan, order = prepare_scan(
                     cfg, rec.points[:, :3], rec.labels, rec.t_map_velo,
-                    self._centers[idx],
+                    self._centers64[idx],
                 )
                 count = min(rec.points.shape[0], self.cap)
                 yield PreparedRecord(
@@ -455,7 +462,8 @@ class SortedPrefetchingLoader:
                 valid=jnp.asarray((order < c).astype(np.int32)),
                 t_map_velo=jnp.asarray(mv), t_map_base=jnp.asarray(mb),
                 t_base_map=jnp.asarray(bm),
-                center=jnp.asarray(self._centers[idx]),
+                center=jnp.asarray(self._chi[idx]),
+                center_lo=jnp.asarray(self._clo[idx]),
             )
             restored = np.empty((self.cap,), np.int32)
             restored[order] = self._lab

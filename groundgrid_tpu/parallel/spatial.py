@@ -234,7 +234,8 @@ def make_spatial_step(config: GroundGridConfig, mesh: Mesh, axis: str = "space",
         idx = lax.axis_index(axis)
         ground = lax.all_gather(g_rows, axis, tiled=True)  # (N, N) replicated
         conf = lax.all_gather(c_rows, axis, tiled=True)
-        state = GridState(ground=ground, groundpatch=conf, center=center)
+        state = GridState(ground=ground, groundpatch=conf, center=center,
+                          center_lo=scan.center_lo)
 
         if config.sorted_scans:
             x, y, z = scan.px, scan.py, scan.pz
@@ -243,10 +244,12 @@ def make_spatial_step(config: GroundGridConfig, mesh: Mesh, axis: str = "space",
         origin = scan.t_map_velo[:3, 3]
 
         state = gridlib.move(
-            config, state, origin[:2], scan.t_base_map, new_center=scan.center)
+            config, state, origin[:2], scan.t_base_map, new_center=scan.center,
+            new_center_lo=scan.center_lo)
 
         binning = rasterlib.bin_points(
-            config, state.center, x, y, z, scan.rings, scan.valid > 0, origin)
+            config, state.center, x, y, z, scan.rings, scan.valid > 0, origin,
+            center_lo=state.center_lo)
         outlier = outlierlib.detect_outliers(
             config, state.center, state.ground, state.groundpatch,
             binning, x, y, z, origin)
@@ -292,6 +295,7 @@ def make_spatial_step(config: GroundGridConfig, mesh: Mesh, axis: str = "space",
         px=pt, py=pt, pz=pt, rings=pt, valid=pt,
         t_map_velo=rep, t_map_base=rep, t_base_map=rep,
         center=rep if with_scan_center else None,
+        center_lo=rep if with_scan_center else None,
     )
     sharded = jax.shard_map(
         local_step,

@@ -56,6 +56,8 @@ class Scan(NamedTuple):
     center: (2,) f32 host-tracked grid center for this scan, or None to
             derive it on device (``config.sorted_scans`` requires it: the
             host sorts points by cell ids binned against this exact value).
+    center_lo: (2,) f32 ds tail of the host's f64 center (see
+            GridState.center_lo); None degrades to a zero tail.
     """
 
     px: jax.Array
@@ -67,6 +69,7 @@ class Scan(NamedTuple):
     t_map_base: jax.Array
     t_base_map: jax.Array
     center: jax.Array | None = None
+    center_lo: jax.Array | None = None
 
 
 class StepOutput(NamedTuple):
@@ -167,12 +170,14 @@ def make_step_fn(config: GroundGridConfig, with_aux: bool = False, _salt: int = 
 
         # --- grid relocation (GroundGrid.cpp:83-147) ---
         state = gridlib.move(
-            config, state, origin[:2], scan.t_base_map, new_center=scan.center
+            config, state, origin[:2], scan.t_base_map, new_center=scan.center,
+            new_center_lo=scan.center_lo,
         )
 
-        # --- binning ---
+        # --- binning (f64-faithful ds form; see rasterize.faithful_cells) ---
         binning = rasterlib.bin_points(
-            config, state.center, x, y, z, scan.rings, scan.valid > 0, origin
+            config, state.center, x, y, z, scan.rings, scan.valid > 0, origin,
+            center_lo=state.center_lo,
         )
 
         # --- outlier ray-march against previous terrain (cpp:242-275) ---
@@ -260,7 +265,10 @@ def make_step_fn(config: GroundGridConfig, with_aux: bool = False, _salt: int = 
                 counts = count_kernel()
             result = result._replace(nonground_count=counts)
 
-        new_state = GridState(ground=ground, groundpatch=groundpatch, center=state.center)
+        new_state = GridState(
+            ground=ground, groundpatch=groundpatch, center=state.center,
+            center_lo=state.center_lo,
+        )
         out = StepOutput(
             labels=result.labels, outlier=outlier.astype(jnp.int32),
             x=x, y=y, z=z,
@@ -454,10 +462,11 @@ def init_state(config: GroundGridConfig, t_map_velo) -> GridState:
     """First-odometry grid creation (GroundGrid::initGroundGrid).
 
     ground := odom z, groundpatch := 1e-7, centered on the sensor xy
-    (GroundGrid.cpp:50-80).
+    (GroundGrid.cpp:50-80). The f64 pose seeds the ds center exactly, as
+    grid_map stores its center in doubles.
     """
-    t = jnp.asarray(t_map_velo, jnp.float32)
-    return gridlib.create(config, t[:2, 3], t[2, 3])
+    t64 = np.asarray(jax.device_get(t_map_velo), np.float64)
+    return gridlib.create(config, t64[:2, 3], np.float32(t64[2, 3]))
 
 
 def pad_scan(
@@ -500,51 +509,89 @@ def pad_scan(
 
 
 class CenterTracker:
-    """Host-side replica of the grid-center recurrence (GridState.center).
+    """Host-side replica of the grid-center recurrence, in float64.
 
     In sorted-scan mode the host must know the grid center *before* dispatch
     (to bin + sort points by the cell ids the device will compute), so the
-    center evolution lives on the host and is passed into each Scan; the
-    device derives the roll shift from the center delta (core/grid.py).
-    The recurrence mirrors ``grid_map::getIndexShiftFromPositionShift``:
-    whole-cell snapping toward the new odometry position.
+    center evolution lives on the host and its ds image is passed into each
+    Scan; the device derives the roll shift from the hi-center delta
+    (core/grid.py). The recurrence is grid_map's double math exactly --
+    half-away-from-zero whole-cell snap of the f64 position delta, then
+    ``center += k * resolution`` in f64 (``getIndexShiftFromPositionShift``;
+    golden.py update_odom is the independently-derived oracle copy) -- so
+    the shipped ds center tracks the oracle's center bitwise-within-repr
+    (~2^-49), not merely to f32.
     """
 
     def __init__(self, config: GroundGridConfig, center_xy):
-        self._res = np.float32(config.resolution)
-        self.center = np.asarray(center_xy, np.float32).copy()
+        self._res = np.float64(config.resolution)
+        self.center64 = np.asarray(center_xy, np.float64).copy()
+
+    @property
+    def center(self) -> np.ndarray:
+        """f32 hi image (legacy consumers; binning wants :meth:`center_ds`)."""
+        return self.center64.astype(np.float32)
+
+    def center_ds(self):
+        """(hi, lo) f32 ds image of the f64 center."""
+        from groundgrid_tpu.core.exactf32 import f64_to_ds
+
+        return f64_to_ds(self.center64)
 
     def update(self, position_xy) -> np.ndarray:
-        """Advance to (the cell-snapped version of) ``position_xy``."""
-        delta = np.asarray(position_xy, np.float32) - self.center
-        dc = delta / self._res
+        """Advance to (the cell-snapped version of) ``position_xy``.
+
+        Returns the new (2,) float64 center.
+        """
+        dc = (np.asarray(position_xy, np.float64) - self.center64) / self._res
         # half-away-from-zero via the shared device rule (core/grid.py);
         # np.round would round half-to-even (AUDIT.md #1)
-        k = gridlib._snap_cells(dc, xp=np).astype(np.float32)
-        self.center = (self.center + k * self._res).astype(np.float32)
-        return self.center
+        k = gridlib._snap_cells(dc, xp=np)
+        self.center64 = self.center64 + k * self._res
+        return self.center64
 
 
-def predict_cells(config: GroundGridConfig, center, x, y, valid) -> np.ndarray:
+def _center_ds(center, center_lo=None):
+    """Normalize a host center to an f32 (hi, lo) ds pair.
+
+    Accepts a (2,) float64 center (split exactly), or an f32 hi with an
+    optional explicit lo tail.
+    """
+    from groundgrid_tpu.core.exactf32 import f64_to_ds
+
+    c = np.asarray(center)
+    if c.dtype == np.float64 and center_lo is None:
+        return f64_to_ds(c)
+    hi = c.astype(np.float32)
+    lo = (
+        np.zeros_like(hi)
+        if center_lo is None
+        else np.asarray(center_lo, np.float32)
+    )
+    return hi, lo
+
+
+def predict_cells(config: GroundGridConfig, center, x, y, valid,
+                  center_lo=None) -> np.ndarray:
     """Host (numpy f32) replica of the device binning (core/rasterize.py).
 
-    Bit-exact with the device under two conditions the sorted-scan mode
-    guarantees: the device bins the same f32 map-frame coordinates (scans
-    are pre-transformed) and the same f32 center (host-tracked). The op
-    chain (add/sub/mul/floor -- note *mul* by a precomputed reciprocal, TPU
-    f32 division is not IEEE-exact) has no FMA-fusable pattern, so XLA's
-    excess-precision rewrites cannot diverge from numpy.
+    Runs the IDENTICAL double-single op sequence as the device
+    (rasterize.faithful_cells with xp=np): every operation is a plain f32
+    add/sub/mul/floor with no FMA-fusable pattern left un-pinned, so XLA's
+    excess-precision rewrites cannot diverge from numpy -- host and device
+    cell ids are bitwise equal, which is what lets the host pre-sort scans.
+    ``center`` may be the (2,) f64 tracker center (preferred) or an f32 hi
+    with optional ``center_lo`` tail.
     """
+    from groundgrid_tpu.core import rasterize as rasterlib2
+
     n = config.cell_count
-    inv_res = np.float32(1.0) / np.float32(config.resolution)
-    c0 = np.float32(np.float32(center[0]) + np.float32(config.half_length))
-    c1 = np.float32(np.float32(center[1]) + np.float32(config.half_length))
+    ch, cl = _center_ds(center, center_lo)
     x = np.asarray(x, np.float32)
     y = np.asarray(y, np.float32)
-    gi0 = np.floor((c0 - x) * inv_res).astype(np.int32)
-    gi1 = np.floor((c1 - y) * inv_res).astype(np.int32)
+    gi0, gi1 = rasterlib2.faithful_cells(config, ch, cl, x, y, xp=np)
     inmap = (gi0 >= 0) & (gi0 < n) & (gi1 >= 0) & (gi1 < n) & np.asarray(valid, bool)
-    return np.where(inmap, gi0 * n + gi1, n * n).astype(np.int32)
+    return np.where(inmap, gi0.astype(np.int64) * n + gi1, n * n).astype(np.int32)
 
 
 def prepare_scan(
@@ -560,11 +607,12 @@ def prepare_scan(
 
     Transforms the raw sensor-frame points to the map frame, pads to
     ``max_points``, sorts everything by the predicted flat cell id (binned
-    against the host-tracked ``center``) and returns ``(scan, order)`` where
-    ``order`` is the applied permutation: ``sorted_arr = arr[order]``, so
-    per-point outputs are restored with ``out[np.argsort(order)]`` (order is
-    host-side only; on-device consumers -- eval, grid layers -- are
-    order-invariant).
+    against the host-tracked ``center`` -- preferably the (2,) f64 tracker
+    value, shipped to the device as an exact ds pair) and returns
+    ``(scan, order)`` where ``order`` is the applied permutation:
+    ``sorted_arr = arr[order]``, so per-point outputs are restored with
+    ``out[np.argsort(order)]`` (order is host-side only; on-device consumers
+    -- eval, grid layers -- are order-invariant).
     """
     p = np.asarray(points, dtype=np.float64)
     r = np.asarray(rings, dtype=np.int32)
@@ -582,7 +630,8 @@ def prepare_scan(
     msk = np.zeros((cap,), dtype=np.int32)
     msk[:count] = 1
 
-    cells = predict_cells(config, center, xyz[:, 0], xyz[:, 1], msk)
+    ch, cl = _center_ds(center)
+    cells = predict_cells(config, ch, xyz[:, 0], xyz[:, 1], msk, center_lo=cl)
     order = np.argsort(cells, kind="stable")
     xyz = xyz[order]
     scan = Scan(
@@ -594,7 +643,8 @@ def prepare_scan(
         t_map_velo=jnp.asarray(t_map_velo.astype(np.float32)),
         t_map_base=jnp.asarray(np.asarray(t_map_base, np.float32)),
         t_base_map=jnp.asarray(np.asarray(t_base_map, np.float32)),
-        center=jnp.asarray(np.asarray(center, np.float32)),
+        center=jnp.asarray(ch),
+        center_lo=jnp.asarray(cl),
     )
     return scan, order
 
@@ -626,6 +676,7 @@ class WireScan(NamedTuple):
     t_map_base: jax.Array
     t_base_map: jax.Array
     center: jax.Array
+    center_lo: jax.Array | None = None  # ds tail (see GridState.center_lo)
 
 
 def dequantize_scan(config: GroundGridConfig, w: WireScan) -> Scan:
@@ -637,7 +688,7 @@ def dequantize_scan(config: GroundGridConfig, w: WireScan) -> Scan:
     return Scan(
         px=x, py=y, pz=z, rings=w.rings.astype(jnp.int32), valid=valid,
         t_map_velo=w.t_map_velo, t_map_base=w.t_map_base,
-        t_base_map=w.t_base_map, center=w.center,
+        t_base_map=w.t_base_map, center=w.center, center_lo=w.center_lo,
     )
 
 
@@ -674,12 +725,12 @@ def prepare_scan_wire(
     t_map_velo = np.asarray(t_map_velo, dtype=np.float64)
     if t_map_base is None or t_base_map is None:
         _, t_map_base, t_base_map = tf.scan_poses(t_map_velo)
-    center = np.asarray(center, np.float32)
+    ch, cl = _center_ds(center)
     origin_z = np.float32(t_map_velo[2, 3].astype(np.float32))
 
     xyz = np.zeros((cap, 3), dtype=np.float32)
     xyz[:count] = tf.transform_points(t_map_velo, p[:count, :3]).astype(np.float32)
-    refs = np.array([center[0], center[1], origin_z], np.float32)
+    refs = np.array([ch[0], ch[1], origin_z], np.float32)
     q = np.clip(
         np.rint((xyz - refs[None, :]) * 100.0), -32768, 32767
     ).astype(np.int16)
@@ -689,7 +740,7 @@ def prepare_scan_wire(
 
     msk = np.zeros((cap,), dtype=np.int32)
     msk[:count] = 1
-    cells = predict_cells(config, center, dq[:, 0], dq[:, 1], msk)
+    cells = predict_cells(config, ch, dq[:, 0], dq[:, 1], msk, center_lo=cl)
     # the wire valid mask is the length-count prefix: padding must sort
     # strictly behind every real point (stable sort keeps real out-of-map
     # points, which share the overflow bin, ahead of padding)
@@ -706,6 +757,7 @@ def prepare_scan_wire(
         t_map_velo=jnp.asarray(t_map_velo.astype(np.float32)),
         t_map_base=jnp.asarray(np.asarray(t_map_base, np.float32)),
         t_base_map=jnp.asarray(np.asarray(t_base_map, np.float32)),
-        center=jnp.asarray(center),
+        center=jnp.asarray(ch),
+        center_lo=jnp.asarray(cl),
     )
     return w, order

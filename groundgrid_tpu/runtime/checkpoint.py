@@ -20,7 +20,7 @@ import numpy as np
 from groundgrid_tpu.config import GroundGridConfig
 from groundgrid_tpu.core.grid import GridState
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2
 
 
 def save_state(
@@ -29,8 +29,14 @@ def save_state(
     next_scan_index: int,
     config: GroundGridConfig,
     extra: Optional[dict] = None,
+    center64=None,
 ) -> None:
-    """Persist grid state + stream position (atomic via rename)."""
+    """Persist grid state + stream position (atomic via rename).
+
+    ``center64``: the host tracker's exact (2,) f64 center, if available --
+    it resumes the sorted-scan binning recurrence bit-exactly; otherwise the
+    ds reconstruction ``center + center_lo`` is stored (exact to ~2^-48).
+    """
     import jax
 
     state = jax.device_get(state)
@@ -42,12 +48,22 @@ def save_state(
         )},
         extra=extra or {},
     )
+    center = np.asarray(state.center)
+    center_lo = (
+        np.zeros_like(center)
+        if state.center_lo is None
+        else np.asarray(state.center_lo)
+    )
+    if center64 is None:
+        center64 = center.astype(np.float64) + center_lo.astype(np.float64)
     tmp = path + ".tmp"
     np.savez(
         tmp if tmp.endswith(".npz") else tmp,
         ground=np.asarray(state.ground),
         groundpatch=np.asarray(state.groundpatch),
-        center=np.asarray(state.center),
+        center=center,
+        center_lo=center_lo,
+        center64=np.asarray(center64, np.float64),
         meta=json.dumps(meta),
     )
     # np.savez appends .npz
@@ -61,7 +77,7 @@ def load_state(path: str, config: GroundGridConfig) -> Tuple[GridState, int, dic
 
     with np.load(path, allow_pickle=False) as f:
         meta = json.loads(str(f["meta"]))
-        if meta["version"] != _FORMAT_VERSION:
+        if meta["version"] not in (1, _FORMAT_VERSION):
             raise ValueError(f"unsupported checkpoint version {meta['version']}")
         saved = meta["config"]
         if (saved["dimension"], saved["resolution"]) != (config.dimension, config.resolution):
@@ -69,9 +85,19 @@ def load_state(path: str, config: GroundGridConfig) -> Tuple[GridState, int, dic
                 f"checkpoint grid {saved['dimension']}m/{saved['resolution']}m "
                 f"!= config {config.dimension}m/{config.resolution}m"
             )
+        center = np.asarray(f["center"])
+        center_lo = (
+            np.asarray(f["center_lo"])
+            if "center_lo" in f.files
+            else np.zeros_like(center)
+        )
         state = GridState(
             ground=jnp.asarray(f["ground"]),
             groundpatch=jnp.asarray(f["groundpatch"]),
-            center=jnp.asarray(f["center"]),
+            center=jnp.asarray(center),
+            center_lo=jnp.asarray(center_lo),
         )
-        return state, int(meta["next_scan_index"]), meta.get("extra", {})
+        extra = meta.get("extra", {})
+        if "center64" in f.files:
+            extra = dict(extra, center64=np.asarray(f["center64"], np.float64))
+        return state, int(meta["next_scan_index"]), extra

@@ -192,7 +192,7 @@ def cmd_evaluate(args) -> int:
         resumed = _load_resume(args, cfg)
         if resumed is not None:
             state, resume_index, extra = resumed
-            driver.restore(state)
+            driver.restore(state, center64=extra.get("center64"))
             ev.load_state_dict(extra["evaluator"])
             per_seq = extra.get("per_sequence", {})
             if extra.get("sequence") in sequences:
@@ -229,6 +229,7 @@ def cmd_evaluate(args) -> int:
                             sequence=seq,
                             per_sequence=per_seq,
                         ),
+                        center64=driver.center64,
                     )
             per_seq[seq] = seq_ev.compute().as_dict()
         total_stats = driver.stats
@@ -324,7 +325,7 @@ def cmd_playback(args) -> int:
     resumed = _load_resume(args, cfg)
     if resumed is not None:
         state, resume_index, _ = resumed
-        driver.restore(state)
+        driver.restore(state, center64=resumed[2].get("center64"))
         print(f"resumed at scan {resume_index}", file=sys.stderr, flush=True)
     prev_ts = None
     for res in driver.run(
@@ -375,7 +376,8 @@ def cmd_playback(args) -> int:
                          caption=caption, layer=layer)
         if (args.checkpoint and args.checkpoint_every > 0
                 and (res.index + 1) % args.checkpoint_every == 0):
-            save_state(args.checkpoint, driver.state, res.index + 1, cfg)
+            save_state(args.checkpoint, driver.state, res.index + 1, cfg,
+                       center64=driver.center64)
     if recorder is not None:
         out = recorder.write_html(
             args.export_html,

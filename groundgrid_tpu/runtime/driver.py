@@ -150,19 +150,33 @@ class StreamingDriver:
         self._last_order = None
         self._last_pose = None
 
-    def restore(self, state: GridState) -> None:
+    def restore(self, state: GridState, center64=None) -> None:
         """Install a checkpointed grid state (runtime/checkpoint.py).
 
         Aligns the host-side center tracker with the restored grid center so
         a resumed sorted-scan stream bins/sorts against the exact center the
         uninterrupted run would have used (the tracker recurrence value at
         the checkpoint boundary IS the stored center).
+
+        ``center64``: the checkpoint's exact (2,) f64 tracker center
+        (checkpoint format v2). Without it the tracker resumes from the ds
+        reconstruction ``center + center_lo`` (exact to ~2^-48 -- inside
+        the binning agreement band, so still deterministic in practice).
         """
         self.state = state
-        self._tracker = (
-            CenterTracker(self.config, np.asarray(state.center))
-            if self.config.sorted_scans else None
-        )
+        if not self.config.sorted_scans:
+            self._tracker = None
+            return
+        if center64 is None:
+            center64 = np.asarray(state.center, np.float64)
+            if state.center_lo is not None:
+                center64 = center64 + np.asarray(state.center_lo, np.float64)
+        self._tracker = CenterTracker(self.config, np.asarray(center64, np.float64))
+
+    @property
+    def center64(self):
+        """The host tracker's exact (2,) f64 center (None in unsorted mode)."""
+        return None if self._tracker is None else self._tracker.center64.copy()
 
     def reconfigure(self, config: GroundGridConfig) -> None:
         """Swap runtime parameters, keeping the grid state when compatible.
@@ -190,7 +204,8 @@ class StreamingDriver:
         mv, mb, bm = tf.scan_poses(rec.t_map_velo)
         cfg = self.config
         if cfg.sorted_scans:
-            pos = rec.t_map_velo[:2, 3].astype(np.float32)
+            # f64, as grid_map tracks its center in doubles (GroundGrid.cpp:58)
+            pos = rec.t_map_velo[:2, 3].astype(np.float64)
             if self._tracker is None:
                 self._tracker = CenterTracker(cfg, pos)
             center = self._tracker.update(pos)  # idempotent for a re-sent pose

@@ -16,6 +16,7 @@ import dataclasses
 from typing import Iterable, Iterator, List, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from groundgrid_tpu.config import GroundGridConfig
@@ -118,9 +119,11 @@ class FleetDriver:
         if len(records) != self.batch:
             raise ValueError(f"expected {self.batch} records, got {len(records)}")
         if self.states is None:
-            states = jax.vmap(lambda t: init_state(self.config, t))(
-                np.stack([r.t_map_velo.astype(np.float32) for r in records])
-            )
+            # Host loop, not vmap: init_state seeds the ds grid center from
+            # the f64 odometry on the host (grid_map stores doubles), which
+            # cannot run under a tracer. One-time cost at fleet creation.
+            per_vehicle = [init_state(self.config, r.t_map_velo) for r in records]
+            states = jax.tree.map(lambda *xs: jnp.stack(xs), *per_vehicle)
             self.states = shard_fleet_pytree(states, self.mesh, self.axis)
         scans = self._batch_scans(records)
         self.states, outs, summary = self.step(self.states, scans)

@@ -44,22 +44,108 @@ struct Slot {
   std::vector<int16_t> qx, qy, qz, qlabels;
 };
 
+// ---------------------------------------------------------------------------
+// Error-free f32 transforms mirroring groundgrid_tpu/core/exactf32.py: the
+// cell prediction must be BIT-EXACT with the device's f64-faithful ds
+// binning (rasterize.faithful_cells), so the identical f32 op sequence runs
+// here. Compile with -ffp-contract=off so the compiler cannot fuse any of
+// these into FMAs (which would silently break the error-free property).
+// ---------------------------------------------------------------------------
+
+static inline float gg_two_sum(float a, float b, float* e) {
+  const float s = a + b;
+  const float bb = s - a;
+  *e = (a - (s - bb)) + (b - bb);
+  return s;
+}
+
+// exactf32.ds_add_f32: normalized (ah + al) + b
+static inline void gg_ds_add_f32(float ah, float al, float b, float* h, float* l) {
+  float se;
+  const float sh = gg_two_sum(ah, b, &se);
+  *h = gg_two_sum(sh, se + al, l);
+}
+
+// exactf32.ds_add: normalized (ah + al) + (bh + bl)
+static inline void gg_ds_add(float ah, float al, float bh, float bl,
+                             float* h, float* l) {
+  float se;
+  const float sh = gg_two_sum(ah, bh, &se);
+  *h = gg_two_sum(sh, se + (al + bl), l);
+}
+
+// exactf32.split with xp=np (host constants only)
+static inline void gg_split(float c, float* hi, float* lo) {
+  const float t = c * 4097.0f;
+  const float d = t - c;
+  *hi = t - d;
+  *lo = c - *hi;
+}
+
+// exactf32.two_prod_int_const: exact m*c for integer-valued m (|m| < 2^21)
+// and a presplit constant c = ch + cl
+static inline void gg_two_prod_int_const(float m, float c, float ch, float cl,
+                                         float* p, float* e) {
+  *p = m * c;
+  const float mh = std::floor(m * (1.0f / 2048.0f) + 0.5f) * 2048.0f;
+  const float ml = m - mh;
+  *e = ((mh * ch - *p) + mh * cl + ml * ch) + ml * cl;
+}
+
+// Per-axis binning constants (exactf32.res_ds + the center-edge ds pair)
+struct BinAxis {
+  float sh, sl;  // ds image of (center + half) for this axis
+};
+
+struct BinConsts {
+  float rh, rl;          // ds image of the f64 resolution
+  float rhh, rhl;        // split of rh
+  float rlh, rll;        // split of rl
+  float inv_res;
+};
+
+// exactf32.ds_bin: floor((s - x) / res) faithful to the f64 oracle
+static inline float gg_ds_bin(const BinAxis& a, const BinConsts& c, float x) {
+  float relh, rell;
+  gg_ds_add_f32(a.sh, a.sl, -x, &relh, &rell);
+  const float m = std::floor(relh * c.inv_res);
+  float p1h, p1l, p2h, p2l;
+  gg_two_prod_int_const(m, c.rh, c.rhh, c.rhl, &p1h, &p1l);
+  gg_two_prod_int_const(m, c.rl, c.rlh, c.rll, &p2h, &p2l);
+  float dh, dl, th, tl;
+  gg_ds_add(relh, rell, -p1h, -p1l, &th, &tl);
+  gg_ds_add(th, tl, -p2h, -p2l, &dh, &dl);
+  const bool below = (dh < 0.0f) || (dh == 0.0f && dl < 0.0f);
+  float eh, el;
+  gg_ds_add(dh, dl, -c.rh, -c.rl, &eh, &el);
+  const bool at_or_above = !((eh < 0.0f) || (eh == 0.0f && el < 0.0f));
+  return m + (at_or_above ? 1.0f : 0.0f) - (below ? 1.0f : 0.0f);
+}
+
 // Sorted-scan preparation parameters (gg_loader_create_sorted): the per-scan
-// poses and pre-tracked grid centers for the whole sequence, plus the grid
-// geometry. The cell prediction must be bit-exact with the device binning
-// (core/rasterize.py bin_points): f32 center+half add, f32 multiply by the
-// f32 reciprocal of the resolution (TPU f32 division is not IEEE-exact, so
-// the device multiplies too), floorf. Compile with -ffp-contract=off so the
-// compiler cannot fuse these into FMAs the device won't perform.
+// poses and pre-tracked f64 grid centers for the whole sequence, plus the
+// grid geometry. The cell prediction is the f64-faithful ds binning above,
+// bit-exact with the device (core/rasterize.py faithful_cells) and the host
+// numpy prep (pipeline.predict_cells).
 struct Prep {
   bool enabled = false;
   bool wire = false;           // s16 wire prep instead of f32 sorted prep
   std::vector<double> poses;   // n_scans * 16, row-major map<-velo
-  std::vector<float> centers;  // n_scans * 2
-  float inv_res = 0.0f;
+  std::vector<double> centers; // n_scans * 2 (f64 tracker recurrence)
+  BinConsts bc;
   float half = 0.0f;
   int32_t n = 0;
 };
+
+// Per-scan (center + half) ds pair, matching rasterize.faithful_cells:
+// f64 center -> (hi, lo) split (exactf32.f64_to_ds), then ds_add_f32(+half).
+static inline BinAxis gg_center_axis(double c64, float half) {
+  const float hi = (float)c64;
+  const float lo = (float)(c64 - (double)hi);
+  BinAxis a;
+  gg_ds_add_f32(hi, lo, half, &a.sh, &a.sl);
+  return a;
+}
 
 struct Loader {
   std::string velodyne_dir;
@@ -86,9 +172,9 @@ struct Loader {
 // bit-for-bit, so the emitted scan is byte-identical to the Python prep.
 void prep_scan(const Loader& L, int64_t idx, Slot& s) {
   const double* T = L.prep.poses.data() + (size_t)idx * 16;
-  const float c0h = L.prep.centers[2 * idx] + L.prep.half;
-  const float c1h = L.prep.centers[2 * idx + 1] + L.prep.half;
-  const float inv_res = L.prep.inv_res;
+  const BinAxis a0 = gg_center_axis(L.prep.centers[2 * idx], L.prep.half);
+  const BinAxis a1 = gg_center_axis(L.prep.centers[2 * idx + 1], L.prep.half);
+  const BinConsts& bc = L.prep.bc;
   const int32_t n = L.prep.n;
   const int64_t n2 = (int64_t)n * n;
   const int32_t cap = L.cap;
@@ -106,8 +192,8 @@ void prep_scan(const Loader& L, int64_t idx, Slot& s) {
     mx[i] = xf;
     my[i] = yf;
     mz[i] = zf;
-    const float g0 = std::floor((c0h - xf) * inv_res);
-    const float g1 = std::floor((c1h - yf) * inv_res);
+    const float g0 = gg_ds_bin(a0, bc, xf);
+    const float g1 = gg_ds_bin(a1, bc, yf);
     if (g0 >= 0.0f && g0 < (float)n && g1 >= 0.0f && g1 < (float)n)
       cells[i] = (int32_t)g0 * n + (int32_t)g1;
   }
@@ -141,12 +227,14 @@ void prep_scan(const Loader& L, int64_t idx, Slot& s) {
 // round-half-even), dequant as q * 0.01f + ref with -ffp-contract=off.
 void prep_scan_wire(const Loader& L, int64_t idx, Slot& s) {
   const double* T = L.prep.poses.data() + (size_t)idx * 16;
-  const float ref0 = L.prep.centers[2 * idx];
-  const float ref1 = L.prep.centers[2 * idx + 1];
+  // the wire quantization refs are the f32 HI center (pipeline dequant adds
+  // w.center[0], the hi); binning uses the full ds pair
+  const float ref0 = (float)L.prep.centers[2 * idx];
+  const float ref1 = (float)L.prep.centers[2 * idx + 1];
   const float ref2 = (float)T[11];  // origin z (t_map_velo[2,3]) as f32
-  const float c0h = ref0 + L.prep.half;
-  const float c1h = ref1 + L.prep.half;
-  const float inv_res = L.prep.inv_res;
+  const BinAxis a0 = gg_center_axis(L.prep.centers[2 * idx], L.prep.half);
+  const BinAxis a1 = gg_center_axis(L.prep.centers[2 * idx + 1], L.prep.half);
+  const BinConsts& bc = L.prep.bc;
   const int32_t n = L.prep.n;
   const int64_t n2 = (int64_t)n * n;
   const int32_t cap = L.cap;
@@ -173,8 +261,8 @@ void prep_scan_wire(const Loader& L, int64_t idx, Slot& s) {
     // bin the dequantized coordinates -- what the device reconstructs
     const float dqx = (float)wx[i] * 0.01f + ref0;
     const float dqy = (float)wy[i] * 0.01f + ref1;
-    const float g0 = std::floor((c0h - dqx) * inv_res);
-    const float g1 = std::floor((c1h - dqy) * inv_res);
+    const float g0 = gg_ds_bin(a0, bc, dqx);
+    const float g1 = gg_ds_bin(a1, bc, dqy);
     if (g0 >= 0.0f && g0 < (float)n && g1 >= 0.0f && g1 < (float)n)
       cells[i] = (int32_t)g0 * n + (int32_t)g1;
   }
@@ -302,11 +390,12 @@ void* gg_loader_create(const char* sequence_root, int64_t n_scans,
 // each scan to the map frame, bin against the pre-tracked grid center and
 // stable-sort by flat cell id (config.sorted_scans host preparation).
 // poses: n_scans x 16 doubles (row-major map<-velo); centers: n_scans x 2
-// f32 (pipeline.CenterTracker outputs).
+// f64 (pipeline.CenterTracker's double recurrence); resolution as a double
+// so the ds constants (exactf32.res_ds) split the same f64 value.
 static void* create_prep_loader(const char* sequence_root, int64_t n_scans,
                                 int32_t cap, int32_t n_threads,
                                 int32_t queue_depth, const double* poses,
-                                const float* centers, float resolution,
+                                const double* centers, double resolution,
                                 float half_length, int32_t n_cells,
                                 bool wire) {
   auto* L = new Loader();
@@ -319,7 +408,13 @@ static void* create_prep_loader(const char* sequence_root, int64_t n_scans,
   L->prep.wire = wire;  // set BEFORE workers start (they prefetch eagerly)
   L->prep.poses.assign(poses, poses + (size_t)n_scans * 16);
   L->prep.centers.assign(centers, centers + (size_t)n_scans * 2);
-  L->prep.inv_res = 1.0f / resolution;
+  // exactf32.res_ds: ds image of the f64 resolution + presplit halves
+  BinConsts& bc = L->prep.bc;
+  bc.rh = (float)resolution;
+  bc.rl = (float)(resolution - (double)bc.rh);
+  gg_split(bc.rh, &bc.rhh, &bc.rhl);
+  gg_split(bc.rl, &bc.rlh, &bc.rll);
+  bc.inv_res = 1.0f / (float)resolution;
   L->prep.half = half_length;
   L->prep.n = n_cells;
   int32_t nt = n_threads > 0 ? n_threads : 2;
@@ -330,7 +425,7 @@ static void* create_prep_loader(const char* sequence_root, int64_t n_scans,
 void* gg_loader_create_sorted(const char* sequence_root, int64_t n_scans,
                               int32_t cap, int32_t n_threads,
                               int32_t queue_depth, const double* poses,
-                              const float* centers, float resolution,
+                              const double* centers, double resolution,
                               float half_length, int32_t n_cells) {
   return create_prep_loader(sequence_root, n_scans, cap, n_threads,
                             queue_depth, poses, centers, resolution,
@@ -343,7 +438,7 @@ void* gg_loader_create_sorted(const char* sequence_root, int64_t n_scans,
 void* gg_loader_create_wire(const char* sequence_root, int64_t n_scans,
                             int32_t cap, int32_t n_threads,
                             int32_t queue_depth, const double* poses,
-                            const float* centers, float resolution,
+                            const double* centers, double resolution,
                             float half_length, int32_t n_cells) {
   return create_prep_loader(sequence_root, n_scans, cap, n_threads,
                             queue_depth, poses, centers, resolution,

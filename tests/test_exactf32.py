@@ -104,6 +104,22 @@ def test_f64_to_ds_roundtrip():
     assert err.max() <= np.abs(x).max() * 2.0 ** -48
 
 
+def test_two_prod_int_const_exact():
+    """Integer x host-constant product: exact over the full signed domain
+    (a floor-based split regressed negative m once -- keep this pinned)."""
+    m = RNG.integers(-(1 << 21) + 1, 1 << 21, size=200_000).astype(np.float32)
+    for c in (np.float32(0.33), np.float32(-1.3113022e-08), np.float32(0.1)):
+        ch, cl = ef.split(c, xp=np)
+        p, e = ef.two_prod_int_const(m, c, ch, cl, xp=np)
+        exact = m.astype(np.float64) * np.float64(c)
+        np.testing.assert_array_equal(
+            p.astype(np.float64) + e.astype(np.float64), exact
+        )
+        pj, ej = jax.jit(lambda mm: ef.two_prod_int_const(mm, c, ch, cl))(m)
+        np.testing.assert_array_equal(np.asarray(pj), p)
+        np.testing.assert_array_equal(np.asarray(ej), e)
+
+
 def _bin_oracle(c64, half, res, x32):
     """The golden oracle's f64 binning (golden.py _index)."""
     rel = (np.float64(c64) + np.float64(half)) - x32.astype(np.float64)
