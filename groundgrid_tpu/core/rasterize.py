@@ -73,13 +73,17 @@ def faithful_cells(config: GroundGridConfig, center, center_lo, x, y, xp=jnp):
     ``None`` degrades to a zero tail (an exactly-f32 center).
     """
     rh, rl, inv = exactf32.res_ds(config.resolution)
-    half = np.float32(config.half_length)
+    # half_length (cells * res / 2) is an f64 product the oracle adds at
+    # full precision; 60.06 etc. are NOT f32-exact, so the ds image of the
+    # f64 half must be added (a plain f32 half cost 1.4e-6 m of edge error
+    # -- the residual mis-binning seed after the round-3 ds_bin fix)
+    hh, hl = exactf32.f64_to_ds(np.float64(config.half_length))
     if center_lo is None:
         cl0 = cl1 = np.float32(0.0)
     else:
         cl0, cl1 = center_lo[0], center_lo[1]
-    sh0, sl0 = exactf32.ds_add_f32(center[0], cl0, half)
-    sh1, sl1 = exactf32.ds_add_f32(center[1], cl1, half)
+    sh0, sl0 = exactf32.ds_add(center[0], cl0, hh, hl)
+    sh1, sl1 = exactf32.ds_add(center[1], cl1, hh, hl)
     gi0 = exactf32.ds_bin(sh0, sl0, x, rh, rl, inv, xp)
     gi1 = exactf32.ds_bin(sh1, sl1, y, rh, rl, inv, xp)
     return gi0, gi1

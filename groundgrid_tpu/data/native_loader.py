@@ -69,7 +69,7 @@ def load_library(auto_build: bool = True) -> Optional[ctypes.CDLL]:
     lib.gg_loader_create_sorted.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int32, ctypes.POINTER(ctypes.c_double),
-        ctypes.POINTER(ctypes.c_double), ctypes.c_double, ctypes.c_float,
+        ctypes.POINTER(ctypes.c_double), ctypes.c_double, ctypes.c_double,
         ctypes.c_int32,
     ]
     lib.gg_loader_next_sorted.restype = ctypes.c_int64
@@ -250,7 +250,7 @@ class WirePrefetchingLoader:
                     self._poses.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
                     self._centers64.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
                     ctypes.c_double(config.resolution),
-                    ctypes.c_float(config.half_length),
+                    ctypes.c_double(config.half_length),
                     config.cell_count,
                 )
             )
@@ -393,7 +393,7 @@ class SortedPrefetchingLoader:
                     self._poses.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
                     self._centers64.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
                     ctypes.c_double(config.resolution),
-                    ctypes.c_float(config.half_length),
+                    ctypes.c_double(config.half_length),
                     config.cell_count,
                 )
             )

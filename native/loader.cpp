@@ -133,17 +133,21 @@ struct Prep {
   std::vector<double> poses;   // n_scans * 16, row-major map<-velo
   std::vector<double> centers; // n_scans * 2 (f64 tracker recurrence)
   BinConsts bc;
-  float half = 0.0f;
+  double half = 0.0;
   int32_t n = 0;
 };
 
 // Per-scan (center + half) ds pair, matching rasterize.faithful_cells:
-// f64 center -> (hi, lo) split (exactf32.f64_to_ds), then ds_add_f32(+half).
-static inline BinAxis gg_center_axis(double c64, float half) {
+// f64 center -> (hi, lo) split (exactf32.f64_to_ds), ds_add with the ds
+// image of the F64 half_length (cells*res/2 is not f32-exact; an f32 half
+// lost 1.4e-6 m of edge precision -- the residual mis-binning seed).
+static inline BinAxis gg_center_axis(double c64, double half64) {
   const float hi = (float)c64;
   const float lo = (float)(c64 - (double)hi);
+  const float hh = (float)half64;
+  const float hl = (float)(half64 - (double)hh);
   BinAxis a;
-  gg_ds_add_f32(hi, lo, half, &a.sh, &a.sl);
+  gg_ds_add(hi, lo, hh, hl, &a.sh, &a.sl);
   return a;
 }
 
@@ -396,7 +400,7 @@ static void* create_prep_loader(const char* sequence_root, int64_t n_scans,
                                 int32_t cap, int32_t n_threads,
                                 int32_t queue_depth, const double* poses,
                                 const double* centers, double resolution,
-                                float half_length, int32_t n_cells,
+                                double half_length, int32_t n_cells,
                                 bool wire) {
   auto* L = new Loader();
   L->velodyne_dir = std::string(sequence_root) + "/velodyne";
@@ -426,7 +430,7 @@ void* gg_loader_create_sorted(const char* sequence_root, int64_t n_scans,
                               int32_t cap, int32_t n_threads,
                               int32_t queue_depth, const double* poses,
                               const double* centers, double resolution,
-                              float half_length, int32_t n_cells) {
+                              double half_length, int32_t n_cells) {
   return create_prep_loader(sequence_root, n_scans, cap, n_threads,
                             queue_depth, poses, centers, resolution,
                             half_length, n_cells, /*wire=*/false);
@@ -439,7 +443,7 @@ void* gg_loader_create_wire(const char* sequence_root, int64_t n_scans,
                             int32_t cap, int32_t n_threads,
                             int32_t queue_depth, const double* poses,
                             const double* centers, double resolution,
-                            float half_length, int32_t n_cells) {
+                            double half_length, int32_t n_cells) {
   return create_prep_loader(sequence_root, n_scans, cap, n_threads,
                             queue_depth, poses, centers, resolution,
                             half_length, n_cells, /*wire=*/true);
