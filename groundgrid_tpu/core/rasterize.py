@@ -218,6 +218,14 @@ def rasterize(
 
     minv = jnp.where(accept, z - np.float32(1e-4), FLT_MAX)  # epsilon (:308)
     min_gh = jnp.full((n2 + 1,), FLT_MAX, jnp.float32).at[cell].min(minv)
+    # per-cell pd spread test (both extrema over ACCEPTED pd): feeds the
+    # exact-zero m2 gate in _finish_layers (golden Welford parity)
+    min_pd = jnp.full((n2 + 1,), FLT_MAX, jnp.float32).at[cell].min(
+        jnp.where(accept, pd, FLT_MAX)
+    )
+    max_pd = jnp.full((n2 + 1,), -FLT_MAX, jnp.float32).at[cell].max(
+        jnp.where(accept, pd, -FLT_MAX)
+    )
     if with_max:
         maxv = jnp.where(accept, z, FLT_TINY)  # init FLT_MIN quirk (:73)
         max_gh = jnp.full((n2 + 1,), FLT_TINY, jnp.float32).at[cell].max(maxv)
@@ -227,8 +235,11 @@ def rasterize(
     if psum_axis is not None:
         sums = jax.lax.psum(sums, psum_axis)
         min_gh = jax.lax.pmin(min_gh, psum_axis)
+        min_pd = jax.lax.pmin(min_pd, psum_axis)
+        max_pd = jax.lax.pmax(max_pd, psum_axis)
         if with_max:
             max_gh = jax.lax.pmax(max_gh, psum_axis)
+    has_spread = min_pd[:n2] < max_pd[:n2]
 
     # one transpose instead of five strided column extractions
     sums_t = sums[:n2].T
@@ -242,6 +253,7 @@ def rasterize(
         min_gh=min_gh[:n2],
         max_gh=max_gh[:n2],
         shift=shift,
+        has_spread=has_spread,
     )
 
 
@@ -272,6 +284,29 @@ def seg_end_reduce(cell, v, combine):
         d *= 2
     is_end = jnp.concatenate([cell[1:] != cell[:-1], jnp.ones((1,), bool)])
     return jnp.where(is_end, v, 0.0)
+
+
+def seg_first_valid(cell, v, missing):
+    """Per-position first non-``missing`` value of the run prefix.
+
+    ``cell`` nondecreasing. Returns (P,) f32 where out[i] is the earliest
+    v[j] != missing with j <= i in i's equal-cell run (or ``missing`` if
+    none). Same Hillis-Steele roll+mask structure as :func:`seg_end_reduce`;
+    the combine prefers the EARLIER window's value when it is valid --
+    associative, so the doubling scan is exact.
+    """
+    p = v.shape[0]
+    idx = jnp.arange(p, dtype=jnp.int32)
+    same = jnp.concatenate([jnp.zeros((1,), bool), cell[1:] == cell[:-1]])
+    ok = same
+    d = 1
+    while d < p:
+        ok = ok & (idx >= d)
+        earlier = jnp.roll(v, d)
+        v = jnp.where(ok & (earlier != missing), earlier, v)
+        ok = ok & jnp.roll(ok, d)
+        d *= 2
+    return v
 
 
 def rasterize_sorted(
@@ -319,7 +354,15 @@ def rasterize_sorted(
     cell = binning.cell
     minv = jnp.where(accept, z - np.float32(1e-4), MIN_SENT)
     min_col = seg_end_reduce(cell, minv, jnp.minimum)
-    # the two 0/1 indicator columns are bf16-exact and ship as single split
+    # pd-spread flag for the exact-zero m2 gate (_finish_layers): neq marks
+    # accepted points whose pd differs from the cell's FIRST accepted pd,
+    # so the cell's neq sum is > 0 iff any two accepted pds differ. 0/1 --
+    # bf16-exact, ONE extra part (15 of the padded 16): free in the kernel.
+    first_pd = seg_first_valid(
+        cell, jnp.where(accept, pd, np.float32(np.inf)), np.float32(np.inf)
+    )
+    neq = (accept & (pd != first_pd)).astype(jnp.float32)
+    # the 0/1 indicator columns are bf16-exact and ship as single split
     # parts -- this is what keeps the standard call inside one MXU N-tile
     # (see ops/pallas_raster.build_parts)
     cols = [
@@ -329,8 +372,9 @@ def rasterize_sorted(
         pdc,
         pdc * pdc,
         min_col,
+        neq,
     ]
-    exact = [True, True, False, False, False, False]
+    exact = [True, True, False, False, False, False, True]
     if with_max:
         maxv = jnp.where(accept, z, FLT_TINY)  # init FLT_MIN quirk (:73)
         cols.append(seg_end_reduce(cell, maxv, jnp.maximum))
@@ -340,10 +384,11 @@ def rasterize_sorted(
     raw = out[0]
     # cells with no points extract 0; all-ignored cells extract the sentinel
     mins = jnp.where((raw > 0) & (out[5] < np.float32(1e30)), out[5], FLT_MAX)
+    has_spread = out[6] > 0
     if with_max:
         # the reset value FLT_TINY participates in every cell's max (the
         # reference's +FLT_MIN init quirk beats all-negative-z cells)
-        maxs = jnp.maximum(jnp.where(raw > 0, out[6], FLT_TINY), FLT_TINY)
+        maxs = jnp.maximum(jnp.where(raw > 0, out[7], FLT_TINY), FLT_TINY)
     else:
         maxs = jnp.full((n2,), FLT_TINY, jnp.float32)
 
@@ -357,11 +402,13 @@ def rasterize_sorted(
         min_gh=mins,
         max_gh=maxs,
         shift=shift,
+        has_spread=has_spread,
     )
 
 
 def _finish_layers(
-    config, points_raw, count, sum_z, sum_pdc, sum_pdc2, min_gh, max_gh, shift
+    config, points_raw, count, sum_z, sum_pdc, sum_pdc2, min_gh, max_gh, shift,
+    has_spread=None,
 ) -> RasterLayers:
     """Shared moment -> layer math on flat (N*N,) accumulator columns."""
     n = config.cell_count
@@ -388,11 +435,32 @@ def _finish_layers(
     # (GroundSegmentation.cpp:382) and takes the main update on cells the
     # reference skips -- hundreds of sparse far cells per scan (AUDIT.md #4
     # forensic; this one comparison was the bulk of the round-3 residual
-    # pipeline-vs-golden divergence). Multi-point cells have genuinely
-    # positive m2, where the ~1e-9 residue is harmless.
-    m2 = jnp.where(
-        count > 1.0, jnp.maximum(sum_pdc2 - sum_pdc * mean_pdc, 0.0), 0.0
-    )
+    # pipeline-vs-golden divergence).
+    #
+    # ``has_spread`` (any two ACCEPTED pd values in the cell differ) extends
+    # the exact-zero gate to multi-point cells: sequential Welford (the
+    # oracle, GroundSegmentation.cpp:298-305) yields m2 == 0.0 EXACTLY for
+    # all-identical pd, while the shifted-sum form leaves the same ~1e-9
+    # residue -- and symmetrically its max(.., 0) clamp can zero a cell
+    # whose true spread is 1-2 ulps where Welford keeps a ~1e-13 residue.
+    # Both directions flip detect's maxVar > 0 gate (measured: 10 of the 10
+    # surviving >0.1 m scan-0 detect flips after the ds-binning fix). The
+    # gate makes the pipeline's m2 ZERONESS exact: 0 iff no spread, else at
+    # least M2_FLOOR (the magnitude is irrelevant to every consumer --
+    # maxVar^2 < var_thr_sq passes for any tiny positive, and the classify
+    # tolerance clamps 1/variance at h_thr -- but it must survive the
+    # variance division: FLT_TINY / count is subnormal and FLUSHED TO ZERO
+    # on this backend, silently re-zeroing the variance; 2^-80 / 2^17 stays
+    # normal).
+    residue = sum_pdc2 - sum_pdc * mean_pdc
+    if has_spread is not None:
+        spread = grid(has_spread.reshape(-1))
+        m2 = jnp.where(
+            (count > 1.0) & spread,
+            jnp.maximum(residue, np.float32(2.0 ** -80)), 0.0,
+        )
+    else:
+        m2 = jnp.where(count > 1.0, jnp.maximum(residue, 0.0), 0.0)
     variance = m2 / (count + FLT_TINY)
 
     return RasterLayers(

@@ -254,6 +254,12 @@ class GoldenGroundGrid:
             for _ in range(self.chaos_variance_ulps):
                 nudged = np.nextafter(nudged, direction, dtype=np.float32)
             variance = np.where(variance > 0, nudged, variance)
+        # stage-1 accumulator snapshot for stage-level divergence attribution
+        # (scratch["points"] later gains the classify increments, so the
+        # detect-stage inputs are only recoverable here)
+        self.snapshots["detect_inputs"] = (
+            points.copy(), variance.copy(), min_gh.copy()
+        )
         self._detect_ground_patches(points, variance, min_gh)
         self.snapshots["post_detect"] = (st.ground.copy(), st.groundpatch.copy())
 

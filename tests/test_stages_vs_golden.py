@@ -50,7 +50,10 @@ def golden_run(small_config, small_scans):
                 pre_state=pre_state,
                 labels=out_labels,
                 scratch={k: v.copy() for k, v in eng.scratch.items()},
-                snapshots={k: (g.copy(), c.copy()) for k, (g, c) in eng.snapshots.items()},
+                snapshots={
+                    k: tuple(a.copy() for a in v)
+                    for k, v in eng.snapshots.items()
+                },
                 outliers=np.array(eng.last_outliers, dtype=np.int64),
                 ignored=np.array(eng.last_ignored, dtype=np.int64),
             )
