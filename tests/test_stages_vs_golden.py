@@ -159,6 +159,76 @@ def test_single_point_cells_have_exactly_zero_variance(
         np.testing.assert_array_equal(var[single], 0.0)
 
 
+def test_m2_zeroness_matches_welford(small_config):
+    """m2 zeroness must equal sequential Welford's (GroundSegmentation.cpp:298).
+
+    Welford yields m2 == 0.0 EXACTLY iff every accepted pd in the cell is
+    identical; the shifted-sum form leaves a ~1e-9 residue on identical-pd
+    cells and its low clamp can zero 1-2-ulp spreads that Welford keeps
+    positive. Both directions flipped detect's maxVar > 0 gate (the round-3
+    residual divergence seed after ds binning). Regression: a crafted scan
+    with (a) a multi-point identical-pd cell -> m2 == variance == 0.0
+    bitwise, (b) a 1-ulp-spread cell -> m2 > 0 AND variance > 0 (the floor
+    must survive the count division without flushing subnormal), (c) a
+    real-spread cell -> genuine positive m2. Checked on both the scatter
+    and the sorted-kernel (interpret) paths.
+    """
+    import unittest.mock as mock
+
+    from groundgrid_tpu.core.rasterize import Binning
+
+    cfg = small_config
+    n = cfg.cell_count
+    z_a = np.float32(1.25)
+    z_b = np.float32(2.0)
+    z_b1 = np.nextafter(z_b, np.float32(3.0), dtype=np.float32)
+    pts = {  # cell -> z values (cells distinct, interior)
+        (10, 10): [z_a, z_a, z_a],          # identical
+        (12, 12): [z_b, z_b1],              # 1-ulp spread
+        (14, 14): [np.float32(0.5), np.float32(1.7)],  # real spread
+    }
+    cap = 512  # one kernel chunk
+    cells = np.full((cap,), n * n, np.int32)
+    zs = np.zeros((cap,), np.float32)
+    acc = np.zeros((cap,), bool)
+    k = 0
+    for (i0, i1), vals in pts.items():
+        for v in vals:
+            cells[k] = i0 * n + i1
+            zs[k] = v
+            acc[k] = True
+            k += 1
+    order = np.argsort(cells, kind="stable")
+    cells, zs, acc = cells[order], zs[order], acc[order]
+    gi0 = (cells // n).astype(np.int32)
+    gi1 = (cells % n).astype(np.int32)
+    binning = Binning(
+        gi0=jnp.asarray(gi0), gi1=jnp.asarray(gi1), cell=jnp.asarray(cells),
+        inmap=jnp.asarray(acc), ignored=jnp.zeros((cap,), bool),
+        sqdist=jnp.zeros((cap,), jnp.float32),
+    )
+    origin = jnp.asarray(np.array([0.0, 0.0, 0.8], np.float32))
+
+    def check(raster):
+        m2 = np.asarray(raster.m2)
+        var = np.asarray(raster.variance)
+        assert m2[10, 10] == 0.0 and var[10, 10] == 0.0
+        assert m2[12, 12] > 0.0 and var[12, 12] > 0.0
+        assert m2[14, 14] > 0.0 and var[14, 14] > 0.0
+
+    check(rasterlib.rasterize(cfg, binning, jnp.asarray(zs), origin,
+                              jnp.asarray(acc)))
+    from groundgrid_tpu.ops.pallas_raster import raster_sums as _rs
+
+    with mock.patch(
+        "groundgrid_tpu.ops.pallas_raster.raster_sums",
+        lambda cell, cols, exact, n2: _rs(cell, cols, exact, n2,
+                                          interpret=True),
+    ):
+        check(rasterlib.rasterize_sorted(cfg, binning, jnp.asarray(zs),
+                                         origin, jnp.asarray(acc)))
+
+
 @pytest.mark.parametrize("scan_idx", [0, 1, 2])
 def test_detect_with_golden_inputs(small_config, golden_run, scan_idx):
     """Feed detect the golden's own layers -> outputs must match closely."""
