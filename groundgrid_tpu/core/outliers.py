@@ -28,6 +28,15 @@ Design notes:
     and rebuilt from a 1-D iota (candidate = i // S, step = i % S + 3).
     Outer-product broadcasts / (K, S) reshapes hit multi-millisecond XLA
     slow paths on TPU; the 1-D formulation runs the whole march in ~40 us.
+  * The march is f64-faithful end to end (matches the reference's
+    double-precision tf2/Eigen/grid_map math as transcribed by golden.py):
+    ray length = correctly-rounded f32 sqrt of the f64 sum of squares
+    (exactf32.sqrt_rn_ds), direction = IEEE-rounded quotients
+    (exactf32.div_rn), the step budget is the oracle's own
+    ``step^2 < fl32(length^2)`` loop test, lattice samples bin through the
+    same ds index math as every point-binning site
+    (rasterize.faithful_cells), and the sample/threshold products are
+    barrier-pinned against XLA FMA contraction.
 """
 
 from __future__ import annotations
@@ -38,7 +47,8 @@ import numpy as np
 from jax import lax
 
 from groundgrid_tpu.config import GroundGridConfig
-from groundgrid_tpu.core.rasterize import Binning
+from groundgrid_tpu.core import exactf32
+from groundgrid_tpu.core.rasterize import Binning, faithful_cells
 
 U32_TOP = np.uint32(0x80000000)
 
@@ -116,10 +126,14 @@ def detect_outliers(
     old_h=None,
     use_lookup_kernel: bool = False,
     _interpret: bool = False,
+    center_lo=None,
 ) -> jax.Array:
     """Returns (P,) bool: True for occluded-return outliers.
 
     ``ground``/``groundpatch`` must be the pre-update (previous scan) layers.
+
+    ``center_lo``: ds tail of the f64 grid center (GridState.center_lo) for
+    the f64-faithful lattice binning; ``None`` degrades to a zero tail.
 
     ``old_h``: optional precomputed per-point previous terrain height
     ``ground[cell]`` -- the sorted-scan pipeline supplies it from the Pallas
@@ -132,8 +146,6 @@ def detect_outliers(
     Pallas-capable backend (or ``_interpret`` for tests).
     """
     n = config.cell_count
-    res = np.float32(config.resolution)
-    half = np.float32(config.half_length)
     # small scans (tests, decimated feeds) can carry fewer points than the
     # configured candidate cap; every candidate fits in a point-count buffer
     k_max = min(config.max_outlier_candidates, int(x.shape[0]))
@@ -168,13 +180,25 @@ def detect_outliers(
     # SELECTION sort directly on the budget -- no per-candidate gathers
     # before the march chunks (3x 8192-row 1-wide gathers, ~200 us, in the
     # gather-then-sort formulation this replaced).
+    #
+    # f64-faithful rounding (matches golden.py:198-202 / the reference's
+    # double-precision tf2+Eigen math bitwise): length is the correctly-
+    # rounded f32 of sqrt(f64 sum of squares) via ds arithmetic, the ray
+    # direction components are IEEE round-to-nearest quotients (TPU's native
+    # divide is reciprocal+refinement, NOT IEEE), and the step budget is the
+    # oracle's own ``step*step < fl32(length*length)`` test -- the BUDGET
+    # arrays carry fl32(length^2), and ``within`` compares exact kk^2
+    # against it (comparing kk < length instead diverges when length^2
+    # rounds exactly onto a perfect square).
     dxa = x - origin[0]
     dya = y - origin[1]
     dza = z - origin[2]
-    length_all = jnp.sqrt(dxa * dxa + dya * dya + dza * dza)
-    inv_len_all = 1.0 / jnp.maximum(length_all, 1e-12)
+    ssh, ssl = exactf32.sumsq3_ds(dxa, dya, dza)
+    length_all = exactf32.sqrt_rn_ds(ssh, ssl)
+    len2_all = exactf32.barrier(length_all * length_all)
+    vz_all = exactf32.div_rn(dza, length_all)
     budget_all = jnp.where(
-        cand & (dza * inv_len_all < np.float32(-0.01)), length_all, 0.0
+        cand & (vz_all < np.float32(-0.01)), len2_all, 0.0
     )
 
     # near/far step split: steps < TIER_SPLIT march for EVERY candidate,
@@ -221,8 +245,12 @@ def detect_outliers(
     # monotone => a superset of the exact set, which is always safe: the
     # extra borderline rows' ``within`` masks still apply the exact test).
     n_run = jnp.sum((budget_all > 0).astype(jnp.int32))
+    # budgets carry fl32(length^2), so the far threshold is split^2 (exact
+    # in f32 for split <= 2^12); >= split^2 is a superset of the exact
+    # ``kk^2 < budget`` far condition at kk == split, which is always safe
     trunc_split = np.uint32(
-        (int(np.float32(split).view(np.uint32)) | 0x80000000) & ~int(idx_mask)
+        (int((np.float32(split) * np.float32(split)).view(np.uint32)) | 0x80000000)
+        & ~int(idx_mask)
     )
     n_far = jnp.sum((trunc_all >= trunc_split).astype(jnp.int32))
 
@@ -260,15 +288,26 @@ def detect_outliers(
         kk = lax.broadcasted_iota(
             jnp.float32, (bvx.shape[0], s_hi - s_lo), 1
         ) + np.float32(s_lo)
-        within = kk < bbudget[:, None]
+        # the oracle's loop test is step^2 < fl32(length^2) (golden.py:202,
+        # numpy promotes the int to f32); kk^2 is exact for kk < 2^12 and
+        # the budget arrays carry fl32(length^2)
+        within = kk * kk < bbudget[:, None]
 
-        sx = origin[0] + kk * bvx[:, None]
-        sy = origin[1] + kk * bvy[:, None]
-        i0 = jnp.floor(((center[0] + half) - sx) / res).astype(jnp.int32)
-        i1 = jnp.floor(((center[1] + half) - sy) / res).astype(jnp.int32)
+        # sample positions and the ray-height threshold must round exactly
+        # like the oracle's separate f32 ops (origin + fl(step*vec)); the
+        # barriers pin the products against XLA FMA contraction, which
+        # would fuse them EXACTER than the oracle and shift near-edge
+        # samples / near-threshold heights by an ulp
+        sx = origin[0] + exactf32.barrier(kk * bvx[:, None])
+        sy = origin[1] + exactf32.barrier(kk * bvy[:, None])
+        # f64-faithful lattice binning (GroundSegmentation.cpp:262-268 bins
+        # ray samples through grid_map's double-precision index math; the
+        # ds form matches it bitwise outside a ~1e-12 m edge band -- same
+        # treatment as every point-binning site, rasterize.faithful_cells)
+        i0, i1 = faithful_cells(config, center, center_lo, sx, sy)
         inside = (i0 > 0) & (i1 > 0) & (i0 < n - 1) & (i1 < n - 1)
         flat = jnp.clip(i0, 0, n - 1) * n + jnp.clip(i1, 0, n - 1)
-        thr = _mono_u32(kk * bvz[:, None] + origin[2] + tol)
+        thr = _mono_u32(exactf32.barrier(kk * bvz[:, None]) + origin[2] + tol)
         rows = flat.shape[0] * flat.shape[1]
         if use_lookup_kernel and rows % _LOOKUP_GROUP == 0:
             # sorted-lookup route: XLA row gathers run ~8 ns/row serial on
@@ -344,11 +383,13 @@ def detect_outliers(
         dx = cpx - origin[0]
         dy = cpy - origin[1]
         dz = cpz - origin[2]
-        length = jnp.sqrt(dx * dx + dy * dy + dz * dz)
-        inv_len = 1.0 / jnp.maximum(length, 1e-12)
-        cvx = dx * inv_len
-        cvy = dy * inv_len
-        cvz = dz * inv_len
+        csh, csl = exactf32.sumsq3_ds(dx, dy, dz)
+        length = exactf32.sqrt_rn_ds(csh, csl)
+        # IEEE-rounded quotients, bitwise the oracle's vec /= length
+        # (golden.py:200; TPU's native divide is not correctly rounded)
+        cvx = exactf32.div_rn(dx, length)
+        cvy = exactf32.div_rn(dy, length)
+        cvz = exactf32.div_rn(dz, length)
         hit_near = lattice_hits((cvx, cvy, cvz, cbud), 3, split)
         if split >= config.ray_steps:
             return cpidx, hit_near

@@ -252,7 +252,7 @@ def make_spatial_step(config: GroundGridConfig, mesh: Mesh, axis: str = "space",
             center_lo=state.center_lo)
         outlier = outlierlib.detect_outliers(
             config, state.center, state.ground, state.groundpatch,
-            binning, x, y, z, origin)
+            binning, x, y, z, origin, center_lo=state.center_lo)
         accept = binning.inmap & ~binning.ignored & ~outlier
         raster = rasterlib.rasterize(
             config, binning, z, origin, accept, with_max=False, psum_axis=axis,

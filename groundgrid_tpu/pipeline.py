@@ -189,7 +189,7 @@ def make_step_fn(config: GroundGridConfig, with_aux: bool = False, _salt: int = 
         outlier = outlierlib.detect_outliers(
             config, state.center, state.ground, state.groundpatch,
             binning, x, y, z, origin, old_h=old_h,
-            use_lookup_kernel=use_lookup,
+            use_lookup_kernel=use_lookup, center_lo=state.center_lo,
         )
 
         # --- rasterize (cpp:200-311) ---
