@@ -274,7 +274,9 @@ class GoldenGroundGrid:
         h_thr = np.float32(cfg.miminum_point_height_threshold)
         h_obs = np.float32(cfg.minimum_point_height_obstacle_threshold)
         for i, (g0, g1) in point_index + ignored:
-            if n <= g0 + 3 or n <= g1 + 3:  # border drop quirk (:167-168)
+            # border drop quirk (:167-168); optional in this engine
+            # (config.border_drop), so the oracle must honor the flag too
+            if cfg.border_drop and (n <= g0 + 3 or n <= g1 + 3):
                 continue
             x, y, z = (np.float32(v) for v in pts[i])
             groundheight = st.ground[g0, g1]

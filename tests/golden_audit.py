@@ -491,7 +491,7 @@ def audit_classify(state: AuditState, points: np.ndarray, origin: np.ndarray,
     ground = state.ground
 
     for k, gi, gj in list(accepted) + list(ignored):
-        if n <= gi + 3 or n <= gj + 3:
+        if cfg.border_drop and (n <= gi + 3 or n <= gj + 3):
             continue   # dropped from the output cloud entirely
         gh = float(ground[gi, gj])
         var = float(variance[gi, gj])
