@@ -142,6 +142,9 @@ class AuditConfig:
     occupied_cells_point_count_factor: float = 20.0
     min_outlier_detection_ground_confidence: float = 1.25
     thread_count: int = 8
+    # repo-level toggle for the reference's unconditional 3-cell border drop
+    # (GroundSegmentation.cpp:167-168); True reproduces the reference.
+    border_drop: bool = True
 
 
 @dataclasses.dataclass
