@@ -372,8 +372,13 @@ def cmd_playback(args) -> int:
                 recorder.add(res.x, res.y, res.labels, center,
                              caption=caption, layer=layer)
             if live is not None:
+                # z0: terrain height under the vehicle (the reference's "car
+                # cell", GroundGridNodelet.cpp:254) anchors the 3-D view
+                c = layer.shape[0] // 2 if layer is not None else 0
+                z0 = float(layer[c, c]) if layer is not None else 0.0
                 live.add(res.x, res.y, res.labels, center,
-                         caption=caption, layer=layer)
+                         caption=caption, layer=layer, z=res.z, z0=z0,
+                         resolution=cfg.resolution)
         if (args.checkpoint and args.checkpoint_every > 0
                 and (res.index + 1) % args.checkpoint_every == 0):
             save_state(args.checkpoint, driver.state, res.index + 1, cfg,

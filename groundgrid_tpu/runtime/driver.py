@@ -52,6 +52,7 @@ class ScanResult:
     aux: Optional[dict] = None  # grid layers when with_aux
     x: Optional[np.ndarray] = None  # (P,) map-frame coords when with_aux
     y: Optional[np.ndarray] = None  # (for cloud rendering / HTML playback)
+    z: Optional[np.ndarray] = None  # (for the 3-D perspective viewer)
 
 
 @dataclasses.dataclass
@@ -333,11 +334,12 @@ class StreamingDriver:
         ms = (time.perf_counter() - tok.t0) * 1000.0
         self.stats.update(ms)
         aux_np = None
-        x_np = y_np = None
+        x_np = y_np = z_np = None
         if aux is not None:
             aux_np = {k: np.asarray(v) for k, v in aux._asdict().items()}
             x_np = fetch(step_out.x)
             y_np = fetch(step_out.y)
+            z_np = fetch(step_out.z)
         return ScanResult(
             index=tok.index,
             timestamp=tok.timestamp,
@@ -348,6 +350,7 @@ class StreamingDriver:
             aux=aux_np,
             x=x_np,
             y=y_np,
+            z=z_np,
         )
 
     def run(

@@ -32,7 +32,7 @@ from urllib.parse import parse_qs, urlparse
 import numpy as np
 
 from groundgrid_tpu.runtime.viz import (
-    layer_to_rgb, png_bytes, render_segmented_cloud,
+    layer_to_rgb, pack_cloud_3d, png_bytes, render_segmented_cloud,
 )
 
 
@@ -40,13 +40,17 @@ class LiveServer:
     """Bounded live frame buffer + HTTP server (one per playback run)."""
 
     def __init__(self, port: int = 8791, extent: float = 60.0,
-                 size: int = 720, keep: int = 600, host: str = "127.0.0.1"):
+                 size: int = 720, keep: int = 600, host: str = "127.0.0.1",
+                 keep3d: int = 60):
         self.extent = float(extent)
         self.size = int(size)
         self.keep = int(keep)
+        self.keep3d = int(keep3d)  # packed clouds are ~0.5 MB each
         self._lock = threading.Lock()
         self._frames: deque[str] = deque()  # data URIs, most recent `keep`
         self._captions: deque[str] = deque()
+        self._clouds: dict[int, dict] = {}  # frame index -> packed 3-D cloud
+        self._cloud_order: deque[int] = deque()
         self._total = 0  # frames ever added; ring start = _total - len
         self._done = False
         self._httpd = ThreadingHTTPServer((host, port), self._handler_class())
@@ -57,8 +61,19 @@ class LiveServer:
 
     # ------------------------------------------------------------- producer
     def add(self, x, y, labels, center_xy, caption: str = "",
-            layer: np.ndarray | None = None) -> bool:
-        """Render + publish one frame (same signature as SequenceRecorder.add)."""
+            layer: np.ndarray | None = None, z=None, z0: float = 0.0,
+            resolution: float | None = None) -> bool:
+        """Render + publish one frame (same signature as SequenceRecorder.add).
+
+        When ``z`` is given, also packs the cloud (with ``layer`` as the
+        terrain underlay) for the page's 3-D perspective toggle.
+        """
+        cloud3d = None
+        if z is not None:
+            cloud3d = pack_cloud_3d(
+                x, y, z, labels, center_xy, z0,
+                ground=layer, resolution=resolution,
+            )
         img = render_segmented_cloud(
             x, y, labels, center_xy, self.extent, self.size
         )
@@ -75,6 +90,11 @@ class LiveServer:
             png_bytes(img)
         ).decode("ascii")
         with self._lock:
+            if cloud3d is not None:
+                self._clouds[self._total] = cloud3d
+                self._cloud_order.append(self._total)
+                while len(self._cloud_order) > self.keep3d:
+                    self._clouds.pop(self._cloud_order.popleft(), None)
             self._frames.append(uri)
             self._captions.append(caption)
             self._total += 1
@@ -143,6 +163,16 @@ class LiveServer:
                     since = int(q.get("since", ["0"])[0])
                     body = json.dumps(server._snapshot(since)).encode()
                     self._send(body, "application/json")
+                elif u.path == "/cloud":
+                    q = parse_qs(u.query)
+                    i = int(q.get("i", ["-1"])[0])
+                    with server._lock:
+                        # nearest retained cloud at or before frame i
+                        cand = [k for k in server._cloud_order if k <= i]
+                        body = (json.dumps(dict(server._clouds[max(cand)],
+                                                frame=max(cand)))
+                                if cand else "null")
+                    self._send(body.encode(), "application/json")
                 elif u.path == "/status":
                     with server._lock:
                         body = json.dumps(
@@ -161,35 +191,118 @@ _LIVE_HTML = """<!DOCTYPE html>
 body{background:#111;color:#ddd;font-family:system-ui,sans-serif;margin:0;
      display:flex;flex-direction:column;align-items:center}
 #img{max-width:96vw;max-height:82vh;image-rendering:pixelated;margin-top:8px}
+#gl{max-width:96vw;margin-top:8px;display:none;cursor:grab}
 #bar{display:flex;gap:10px;align-items:center;padding:8px}
 button{background:#333;color:#ddd;border:1px solid #555;border-radius:4px;
        padding:4px 10px;cursor:pointer}
+button.on{background:#264;border-color:#4a8}
 #cap{color:#9c9;min-height:1.2em}
 input[type=range]{width:40vw}
 .legend{color:#888;font-size:0.85em}
 </style></head><body>
 <div id="bar">
   <button id="follow">following &#9679;</button>
+  <button id="d3">3-D</button>
   <input type="range" id="seek" min="0" max="0" value="0">
   <span id="pos">0/0</span>
   <span id="state" style="color:#888">live</span>
 </div>
 <img id="img" alt="waiting for frames...">
+<canvas id="gl" width="960" height="600"></canvas>
 <div id="cap"></div>
 <div class="legend"><span style="color:#2c4">&#9632; ground</span>
 <span style="color:#e33">&#9632; non-ground</span>
-<span style="color:#888">&#9632; dropped</span></div>
+<span style="color:#888">&#9632; dropped</span>
+<span id="hint3d" style="display:none">&middot; drag orbits, wheel zooms</span></div>
 <script>
 let frames=[], captions=[], start=0, next=0, cur=-1, follow=true, done=false;
+let mode3d=false, cloud=null, cloudFrame=-1, fetching=false;
+let yaw=0.7, pitch=0.55, dist=4200; // cm
 const img=document.getElementById('img'), cap=document.getElementById('cap');
 const seek=document.getElementById('seek'), pos=document.getElementById('pos');
 const fbtn=document.getElementById('follow'), state=document.getElementById('state');
+const gl=document.getElementById('gl'), d3btn=document.getElementById('d3');
+const ctx=gl.getContext('2d');
+function b64i16(s){const b=atob(s),u=new Uint8Array(b.length);
+  for(let i=0;i<b.length;i++)u[i]=b.charCodeAt(i);
+  return new Int16Array(u.buffer);}
+function b64u8(s){const b=atob(s),u=new Uint8Array(b.length);
+  for(let i=0;i<b.length;i++)u[i]=b.charCodeAt(i);return u;}
+function render3d(){
+  if(!cloud)return;
+  const W=gl.width,H=gl.height,f=H*1.15;
+  const im=ctx.createImageData(W,H),px=im.data;
+  const zb=new Float32Array(W*H).fill(1e12);
+  const ca=Math.cos(yaw),sa=Math.sin(yaw),cb=Math.cos(pitch),sb=Math.sin(pitch);
+  function splat(x,y,z,r,g,b,s){
+    const t=ca*x+sa*y, w=cb*t-sb*z+dist;
+    if(w<60)return;
+    const u=(W>>1)+f*(-sa*x+ca*y)/w, v=(H>>1)-f*(sb*t+cb*z)/w;
+    const ui=u|0, vi=v|0;
+    for(let dv=0;dv<s;dv++)for(let du=0;du<s;du++){
+      const uu=ui+du, vv=vi+dv;
+      if(uu<0||uu>=W||vv<0||vv>=H)continue;
+      const k=vv*W+uu;
+      if(w<zb[k]){zb[k]=w;const o=k*4;
+        px[o]=r;px[o+1]=g;px[o+2]=b;px[o+3]=255;}
+    }
+  }
+  const t3=cloud.terrain;
+  if(t3){
+    const h=b64i16(t3.h), n=t3.n;
+    for(let i=0;i<n;i++)for(let j=0;j<n;j++){
+      const hv=h[i*n+j];
+      const x=t3.origin_cm+i*t3.step_cm, y=t3.origin_cm+j*t3.step_cm;
+      // height-shaded slate: darker low, lighter high
+      const c=Math.max(0,Math.min(200,110+hv*0.35));
+      splat(x,y,hv,c*0.35,c*0.5,c*0.62,3);
+    }
+  }
+  const X=b64i16(cloud.x),Y=b64i16(cloud.y),Z=b64i16(cloud.z),L=b64u8(cloud.lab);
+  for(let i=0;i<cloud.n;i++){
+    const l=L[i];
+    if(l===49)splat(X[i],Y[i],Z[i],40,220,60,2);
+    else if(l===99)splat(X[i],Y[i],Z[i],230,50,50,2);
+    else splat(X[i],Y[i],Z[i],90,90,90,2);
+  }
+  // ego marker: small white pillar at the origin
+  for(let k=0;k<8;k++)splat(0,0,k*25,255,255,255,3);
+  ctx.putImageData(im,0,0);
+  ctx.fillStyle='#9c9';ctx.font='12px monospace';
+  ctx.fillText('frame '+cloudFrame+'  '+cloud.n+' pts (stride '+cloud.stride+')',8,14);
+}
+async function fetchCloud(i){
+  if(fetching)return; fetching=true;
+  try{
+    const r=await fetch('/cloud?i='+i);
+    const d=await r.json();
+    if(d&&d.frame!==cloudFrame){cloud=d;cloudFrame=d.frame;render3d();}
+    else if(d&&!cloud){cloud=d;cloudFrame=d.frame;render3d();}
+  }catch(e){}
+  fetching=false;
+}
 function show(i){
   if(i<start||i>=next) return;
   cur=i; img.src=frames[i-start]; cap.textContent=captions[i-start];
   seek.min=start; seek.max=Math.max(next-1,start); seek.value=i;
   pos.textContent=(i+1)+'/'+next;
+  if(mode3d)fetchCloud(i);
 }
+d3btn.onclick=()=>{mode3d=!mode3d;
+  d3btn.className=mode3d?'on':'';
+  img.style.display=mode3d?'none':'';
+  gl.style.display=mode3d?'':'none';
+  document.getElementById('hint3d').style.display=mode3d?'':'none';
+  if(mode3d&&cur>=0)fetchCloud(cur);};
+let drag=null;
+gl.onmousedown=e=>{drag=[e.clientX,e.clientY];gl.style.cursor='grabbing';};
+window.onmouseup=()=>{drag=null;gl.style.cursor='grab';};
+window.onmousemove=e=>{if(!drag)return;
+  yaw+=(e.clientX-drag[0])*0.008;
+  pitch=Math.max(0.05,Math.min(1.5,pitch+(e.clientY-drag[1])*0.008));
+  drag=[e.clientX,e.clientY];render3d();};
+gl.onwheel=e=>{e.preventDefault();
+  dist=Math.max(500,Math.min(30000,dist*(e.deltaY>0?1.12:0.89)));render3d();};
 fbtn.onclick=()=>{follow=!follow;
   fbtn.innerHTML=follow?'following &#9679;':'paused &#9616;&#9616;';
   if(follow&&next>0) show(next-1);};

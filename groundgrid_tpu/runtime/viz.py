@@ -235,6 +235,72 @@ if(F.length)show(0);
 """
 
 
+def pack_cloud_3d(
+    x,
+    y,
+    z,
+    labels,
+    center_xy,
+    z0: float,
+    ground: np.ndarray | None = None,
+    resolution: float | None = None,
+    max_points: int = 60000,
+    terrain_side: int = 96,
+) -> dict:
+    """Pack one segmented cloud (+ optional terrain underlay) for the 3-D view.
+
+    The 3-D perspective viewer (the RViz-display analog,
+    ``rviz/groundgrid.rviz``: segmented cloud colored by class over the
+    terrain estimate) consumes ego-relative int16-centimeter coordinates —
+    7 bytes/point — as base64 fields the browser decodes into typed arrays.
+
+    ``center_xy``/``z0`` define the ego frame (grid center, terrain height
+    under the vehicle). ``ground`` (N, N) is subsampled to ``terrain_side``
+    per side on the grid's cell-center lattice
+    (``pos = center + half - (idx + 0.5) * res``, core/grid.py).
+    Points are cell-sorted in sorted-scans mode, so stride subsampling to
+    ``max_points`` stays spatially uniform.
+    """
+    import base64
+
+    def b64(a: np.ndarray) -> str:
+        return base64.b64encode(np.ascontiguousarray(a).tobytes()).decode("ascii")
+
+    x = np.asarray(x, np.float32)
+    n = len(x)
+    stride = max(1, -(-n // max_points))
+    sel = slice(0, n, stride)
+    cx, cy = float(center_xy[0]), float(center_xy[1])
+
+    def cm16(v) -> np.ndarray:
+        return np.clip(np.round(v * 100.0), -32000, 32000).astype(np.int16)
+
+    out = dict(
+        n=len(x[sel]),
+        stride=stride,
+        x=b64(cm16(x[sel] - cx)),
+        y=b64(cm16(np.asarray(y, np.float32)[sel] - cy)),
+        z=b64(cm16(np.asarray(z, np.float32)[sel] - z0)),
+        lab=b64(np.asarray(labels).astype(np.uint8)[sel]),
+    )
+    if ground is not None and resolution is not None:
+        g = np.asarray(ground, np.float32)
+        gn = g.shape[0]
+        gs = max(1, -(-gn // terrain_side))
+        idx = np.arange(0, gn, gs)
+        half = gn * resolution / 2.0
+        # cell-center offset from ego of lattice index 0, and the (negative)
+        # step along increasing index (index 0 is the max-position corner)
+        origin_cm = (half - (idx[0] + 0.5) * resolution) * 100.0
+        out["terrain"] = dict(
+            n=len(idx),
+            step_cm=-gs * resolution * 100.0,
+            origin_cm=origin_cm,
+            h=b64(cm16(g[np.ix_(idx, idx)] - z0)),
+        )
+    return out
+
+
 def terrain_artifact(ground: np.ndarray, points_raw: np.ndarray) -> np.ndarray:
     """The reference's 32FC3 terrain image (GroundGridNodelet.cpp:247-270).
 

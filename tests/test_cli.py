@@ -200,6 +200,65 @@ def test_live_server_follow_protocol():
         live.stop()
 
 
+def test_live_server_cloud3d_endpoint():
+    """3-D toggle data path: pack round-trip + /cloud nearest-retained ring."""
+    import base64
+    import json as _json
+    import urllib.request
+
+    from groundgrid_tpu.runtime.live import LiveServer
+    from groundgrid_tpu.runtime.viz import pack_cloud_3d
+
+    rng = np.random.default_rng(1)
+    n = 500
+    x = rng.uniform(-50, 50, n).astype(np.float32) + 100.0
+    y = rng.uniform(-50, 50, n).astype(np.float32) - 40.0
+    z = rng.uniform(-2, 3, n).astype(np.float32) + 7.0
+    lab = rng.choice([0, 49, 99], n).astype(np.int32)
+    ground = rng.uniform(6.5, 7.5, (12, 12)).astype(np.float32)
+    center = np.array([100.0, -40.0])
+
+    # packer round-trip: int16 centimetres of the ego-relative coords
+    d = pack_cloud_3d(x, y, z, lab, center, z0=7.0, ground=ground,
+                      resolution=0.5, max_points=1000)
+    assert d["n"] == n and d["stride"] == 1
+    dx = np.frombuffer(base64.b64decode(d["x"]), np.int16)
+    dz = np.frombuffer(base64.b64decode(d["z"]), np.int16)
+    np.testing.assert_allclose(dx / 100.0, x - 100.0, atol=0.006)
+    np.testing.assert_allclose(dz / 100.0, z - 7.0, atol=0.006)
+    dl = np.frombuffer(base64.b64decode(d["lab"]), np.uint8)
+    np.testing.assert_array_equal(dl, lab.astype(np.uint8))
+    t = d["terrain"]
+    # grid_map convention: index 0 = max-position corner -> negative step
+    assert t["n"] == 12 and t["step_cm"] == -50.0
+    th = np.frombuffer(base64.b64decode(t["h"]), np.int16)
+    np.testing.assert_allclose(th.reshape(12, 12) / 100.0, ground - 7.0,
+                               atol=0.006)
+    # subsampling cap
+    d2 = pack_cloud_3d(x, y, z, lab, center, z0=7.0, max_points=100)
+    assert d2["stride"] == 5 and d2["n"] == 100
+
+    # endpoint: keep3d eviction + nearest-retained-at-or-before semantics
+    live = LiveServer(port=0, keep=8, keep3d=2, size=64).start()
+    try:
+        def get(path):
+            url = live.url.rstrip("/") + path
+            with urllib.request.urlopen(url, timeout=5) as r:
+                return _json.loads(r.read())
+
+        for k in range(4):
+            live.add(x, y, lab, center, z=z, z0=7.0, layer=ground,
+                     resolution=0.5)
+        assert get("/cloud?i=3")["frame"] == 3
+        assert get("/cloud?i=99")["frame"] == 3  # nearest at-or-before
+        assert get("/cloud?i=2")["frame"] == 2
+        assert get("/cloud?i=1") is None  # evicted (keep3d=2)
+        got = get("/cloud?i=3")
+        assert got["n"] == n and "terrain" in got
+    finally:
+        live.stop()
+
+
 def test_playback_serve_live(dataset_root, capsys):
     """--serve drives the live viewer during a real playback run."""
     import threading
