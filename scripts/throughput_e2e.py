@@ -119,11 +119,17 @@ def prep_rate(ds, config, n_threads: int, mode: str, n_scans: int) -> dict:
 
 
 def e2e_rate(ds, config, pipeline_depth: int, n_threads: int = 2) -> dict:
-    """Sustained streaming scans/s: native sorted loader -> pipelined driver."""
+    """Sustained streaming scans/s: native sorted loader -> pipelined driver.
+
+    This is the host-consumer mode: every scan's labels/outliers cross
+    device->host. On the tunneled dev TPU that transfer bounds the rate (see
+    tunnel_profile); on locally-attached hardware it is PCIe-negligible.
+    """
     from groundgrid_tpu.data.native_loader import SortedPrefetchingLoader
     from groundgrid_tpu.runtime.driver import StreamingDriver
 
     loader = SortedPrefetchingLoader(ds, config, n_threads=n_threads)
+    native = loader.native
     driver = StreamingDriver(config)
     n = len(ds)
     warm = min(12, n // 4)
@@ -137,9 +143,72 @@ def e2e_rate(ds, config, pipeline_depth: int, n_threads: int = 2) -> dict:
     loader.close()
     timed = done - warm
     return dict(pipeline_depth=pipeline_depth, loader_threads=n_threads,
-                native_loader=loader.native, scans=timed,
+                native_loader=native, scans=timed,
                 scans_per_sec=round(timed / elapsed, 2),
                 wall_ms_per_scan=round(elapsed / timed * 1000.0, 3))
+
+
+def e2e_device_consumer(ds, config, n_threads: int = 2) -> dict:
+    """Sustained streaming with a device-resident consumer (on-device eval).
+
+    The evaluate pipeline's production shape (`--on-device-eval`): scans
+    stream up, the confusion table accumulates on device, nothing per-scan
+    comes back. Isolates the upload+step path from D2H label traffic.
+    """
+    from groundgrid_tpu.data.native_loader import SortedPrefetchingLoader
+    from groundgrid_tpu.runtime.evaluate import evaluate_records
+
+    loader = SortedPrefetchingLoader(ds, config, n_threads=n_threads)
+    native = loader.native
+    ev, stats = evaluate_records(config, iter(loader), progress_every=0)
+    loader.close()
+    return dict(mode="device_consumer", loader_threads=n_threads,
+                native_loader=native, scans=stats.scans,
+                scans_per_sec=round(stats.scans_per_sec, 2),
+                wall_ms_per_scan=round(stats.avg_ms, 3),
+                clouds_scored=int(ev.clouds))
+
+
+def tunnel_profile() -> dict:
+    """Measure the host<->device link (RTT + bandwidth both ways).
+
+    On this dev box the TPU is reached through a tunnel; these numbers are
+    what make the e2e wall rates interpretable (each scan uploads ~2 MB of
+    sorted points and the host-consumer mode fetches ~1 MB back).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    dev = jax.devices()[0]
+    # RTT: scalar round trip (device_put + device_get), warm
+    s = np.float32(1.0)
+    for _ in range(3):
+        _ = np.asarray(jax.device_get(jax.device_put(s, dev)))
+    t0 = time.perf_counter()
+    reps = 20
+    for _ in range(reps):
+        _ = np.asarray(jax.device_get(jax.device_put(s, dev)))
+    rtt_ms = (time.perf_counter() - t0) / reps * 1000.0 / 2.0
+
+    mb = 16
+    big = np.zeros(mb * 1024 * 1024 // 4, np.float32)
+    d = jax.device_put(big, dev)
+    d.block_until_ready()  # warm path + allocation
+    t0 = time.perf_counter()
+    d = jax.device_put(big, dev)
+    d.block_until_ready()
+    h2d = mb / (time.perf_counter() - t0)
+    # D2H must fetch a device-COMPUTED array: device_get of an array that
+    # was uploaded (or fetched before) returns the runtime's cached host
+    # copy with no transfer at all
+    add_one = jax.jit(lambda a: a + 1.0)
+    e = add_one(d)
+    e.block_until_ready()
+    t0 = time.perf_counter()
+    _ = np.asarray(jax.device_get(e))
+    d2h = mb / (time.perf_counter() - t0)
+    return dict(rtt_ms=round(rtt_ms, 2), h2d_mb_s=round(h2d, 1),
+                d2h_mb_s=round(d2h, 1), probe_mb=mb)
 
 
 def main() -> None:
@@ -182,10 +251,15 @@ def main() -> None:
         import jax
 
         result["platform"] = jax.devices()[0].platform
+        result["tunnel"] = tunnel_profile()
+        print("tunnel:", result["tunnel"], flush=True)
         for depth in (0, 2, 6):
             r = e2e_rate(ds, config, depth)
             print("e2e:", r, flush=True)
             result["e2e"].append(r)
+        r = e2e_device_consumer(ds, config)
+        print("e2e:", r, flush=True)
+        result["e2e"].append(r)
 
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
