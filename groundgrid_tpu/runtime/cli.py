@@ -313,7 +313,8 @@ def cmd_playback(args) -> int:
     if args.export_html:
         from groundgrid_tpu.runtime.viz import SequenceRecorder
 
-        recorder = SequenceRecorder(max_frames=args.html_max_frames)
+        recorder = SequenceRecorder(max_frames=args.html_max_frames,
+                                    embed_3d_every=args.html_3d_every)
     live = None
     if args.serve is not None:
         from groundgrid_tpu.runtime.live import LiveServer
@@ -368,14 +369,15 @@ def cmd_playback(args) -> int:
                        f"ground={int((res.labels == 49).sum())} "
                        f"nonground={int((res.labels == 99).sum())}")
             layer = res.aux["ground"] if res.aux else None
+            # z0: terrain height under the vehicle (the reference's "car
+            # cell", GroundGridNodelet.cpp:254) anchors the 3-D view
+            c = layer.shape[0] // 2 if layer is not None else 0
+            z0 = float(layer[c, c]) if layer is not None else 0.0
             if recorder is not None:
                 recorder.add(res.x, res.y, res.labels, center,
-                             caption=caption, layer=layer)
+                             caption=caption, layer=layer, z=res.z, z0=z0,
+                             resolution=cfg.resolution)
             if live is not None:
-                # z0: terrain height under the vehicle (the reference's "car
-                # cell", GroundGridNodelet.cpp:254) anchors the 3-D view
-                c = layer.shape[0] // 2 if layer is not None else 0
-                z0 = float(layer[c, c]) if layer is not None else 0.0
                 live.add(res.x, res.y, res.labels, center,
                          caption=caption, layer=layer, z=res.z, z0=z0,
                          resolution=cfg.resolution)
@@ -488,6 +490,11 @@ def main(argv=None) -> int:
     p_play.add_argument("--html-every", type=int, default=5,
                         help="record every Nth scan into the HTML player")
     p_play.add_argument("--html-max-frames", type=int, default=400)
+    p_play.add_argument("--html-3d-every", type=int, default=0,
+                        help="embed a packed 3-D cloud (perspective view "
+                             "toggle) for every Nth RECORDED frame in the "
+                             "HTML player (0 = off; ~0.7 MB each, capped "
+                             "at 40)")
     p_play.add_argument("--serve", type=int, default=None, metavar="PORT",
                         help="serve a LIVE browser viewer of the running "
                              "sequence on this port (0 = ephemeral; every "

@@ -157,7 +157,10 @@ class LiveServer:
             def do_GET(self):
                 u = urlparse(self.path)
                 if u.path == "/":
-                    self._send(_LIVE_HTML.encode(), "text/html; charset=utf-8")
+                    from groundgrid_tpu.runtime.viz import CLOUD3D_JS
+
+                    page = _LIVE_HTML.replace("__CLOUD3D_JS__", CLOUD3D_JS)
+                    self._send(page.encode(), "text/html; charset=utf-8")
                 elif u.path == "/frames":
                     q = parse_qs(u.query)
                     since = int(q.get("since", ["0"])[0])
@@ -215,69 +218,21 @@ input[type=range]{width:40vw}
 <span style="color:#888">&#9632; dropped</span>
 <span id="hint3d" style="display:none">&middot; drag orbits, wheel zooms</span></div>
 <script>
+__CLOUD3D_JS__
 let frames=[], captions=[], start=0, next=0, cur=-1, follow=true, done=false;
-let mode3d=false, cloud=null, cloudFrame=-1, fetching=false;
-let yaw=0.7, pitch=0.55, dist=4200; // cm
+let mode3d=false, cloudFrame=-1, fetching=false;
 const img=document.getElementById('img'), cap=document.getElementById('cap');
 const seek=document.getElementById('seek'), pos=document.getElementById('pos');
 const fbtn=document.getElementById('follow'), state=document.getElementById('state');
 const gl=document.getElementById('gl'), d3btn=document.getElementById('d3');
-const ctx=gl.getContext('2d');
-function b64i16(s){const b=atob(s),u=new Uint8Array(b.length);
-  for(let i=0;i<b.length;i++)u[i]=b.charCodeAt(i);
-  return new Int16Array(u.buffer);}
-function b64u8(s){const b=atob(s),u=new Uint8Array(b.length);
-  for(let i=0;i<b.length;i++)u[i]=b.charCodeAt(i);return u;}
-function render3d(){
-  if(!cloud)return;
-  const W=gl.width,H=gl.height,f=H*1.15;
-  const im=ctx.createImageData(W,H),px=im.data;
-  const zb=new Float32Array(W*H).fill(1e12);
-  const ca=Math.cos(yaw),sa=Math.sin(yaw),cb=Math.cos(pitch),sb=Math.sin(pitch);
-  function splat(x,y,z,r,g,b,s){
-    const t=ca*x+sa*y, w=cb*t-sb*z+dist;
-    if(w<60)return;
-    const u=(W>>1)+f*(-sa*x+ca*y)/w, v=(H>>1)-f*(sb*t+cb*z)/w;
-    const ui=u|0, vi=v|0;
-    for(let dv=0;dv<s;dv++)for(let du=0;du<s;du++){
-      const uu=ui+du, vv=vi+dv;
-      if(uu<0||uu>=W||vv<0||vv>=H)continue;
-      const k=vv*W+uu;
-      if(w<zb[k]){zb[k]=w;const o=k*4;
-        px[o]=r;px[o+1]=g;px[o+2]=b;px[o+3]=255;}
-    }
-  }
-  const t3=cloud.terrain;
-  if(t3){
-    const h=b64i16(t3.h), n=t3.n;
-    for(let i=0;i<n;i++)for(let j=0;j<n;j++){
-      const hv=h[i*n+j];
-      const x=t3.origin_cm+i*t3.step_cm, y=t3.origin_cm+j*t3.step_cm;
-      // height-shaded slate: darker low, lighter high
-      const c=Math.max(0,Math.min(200,110+hv*0.35));
-      splat(x,y,hv,c*0.35,c*0.5,c*0.62,3);
-    }
-  }
-  const X=b64i16(cloud.x),Y=b64i16(cloud.y),Z=b64i16(cloud.z),L=b64u8(cloud.lab);
-  for(let i=0;i<cloud.n;i++){
-    const l=L[i];
-    if(l===49)splat(X[i],Y[i],Z[i],40,220,60,2);
-    else if(l===99)splat(X[i],Y[i],Z[i],230,50,50,2);
-    else splat(X[i],Y[i],Z[i],90,90,90,2);
-  }
-  // ego marker: small white pillar at the origin
-  for(let k=0;k<8;k++)splat(0,0,k*25,255,255,255,3);
-  ctx.putImageData(im,0,0);
-  ctx.fillStyle='#9c9';ctx.font='12px monospace';
-  ctx.fillText('frame '+cloudFrame+'  '+cloud.n+' pts (stride '+cloud.stride+')',8,14);
-}
+const view3d=gg3dView(gl);
 async function fetchCloud(i){
   if(fetching)return; fetching=true;
   try{
     const r=await fetch('/cloud?i='+i);
     const d=await r.json();
-    if(d&&d.frame!==cloudFrame){cloud=d;cloudFrame=d.frame;render3d();}
-    else if(d&&!cloud){cloud=d;cloudFrame=d.frame;render3d();}
+    if(d&&d.frame!==cloudFrame){cloudFrame=d.frame;
+      view3d.setCloud(d,'frame '+d.frame+'  '+d.n+' pts (stride '+d.stride+')');}
   }catch(e){}
   fetching=false;
 }
@@ -294,15 +249,6 @@ d3btn.onclick=()=>{mode3d=!mode3d;
   gl.style.display=mode3d?'':'none';
   document.getElementById('hint3d').style.display=mode3d?'':'none';
   if(mode3d&&cur>=0)fetchCloud(cur);};
-let drag=null;
-gl.onmousedown=e=>{drag=[e.clientX,e.clientY];gl.style.cursor='grabbing';};
-window.onmouseup=()=>{drag=null;gl.style.cursor='grab';};
-window.onmousemove=e=>{if(!drag)return;
-  yaw+=(e.clientX-drag[0])*0.008;
-  pitch=Math.max(0.05,Math.min(1.5,pitch+(e.clientY-drag[1])*0.008));
-  drag=[e.clientX,e.clientY];render3d();};
-gl.onwheel=e=>{e.preventDefault();
-  dist=Math.max(500,Math.min(30000,dist*(e.deltaY>0?1.12:0.89)));render3d();};
 fbtn.onclick=()=>{follow=!follow;
   fbtn.innerHTML=follow?'following &#9679;':'paused &#9616;&#9616;';
   if(follow&&next>0) show(next-1);};

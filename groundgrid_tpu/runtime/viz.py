@@ -134,25 +134,43 @@ class SequenceRecorder:
     through a strided recorder without pre-counting.
     """
 
-    def __init__(self, extent: float = 60.0, size: int = 720, max_frames: int = 400):
+    def __init__(self, extent: float = 60.0, size: int = 720,
+                 max_frames: int = 400, embed_3d_every: int = 0,
+                 max_3d: int = 40):
         self.extent = float(extent)
         self.size = int(size)
         self.max_frames = int(max_frames)
+        # 3-D embedding: every Kth recorded frame also stores a packed cloud
+        # (~0.5 MB -> ~0.7 MB of base64 in the file); max_3d caps file growth
+        self.embed_3d_every = int(embed_3d_every)
+        self.max_3d = int(max_3d)
         self.frames: list[bytes] = []
         self.captions: list[str] = []
+        self.clouds: dict[int, dict] = {}  # recorded-frame ordinal -> packed
         self.dropped = 0
 
     def add(self, x, y, labels, center_xy, caption: str = "",
-            layer: np.ndarray | None = None) -> bool:
+            layer: np.ndarray | None = None, z=None, z0: float = 0.0,
+            resolution: float | None = None) -> bool:
         """Render + append one frame; returns False when at capacity.
 
         ``layer``: optional (N, N) float grid layer rendered as a
         quarter-size colormapped inset (bottom-right), mirroring the
         reference's per-layer image publishers alongside the cloud view.
+        With ``z`` and ``embed_3d_every`` set, a packed 3-D cloud (terrain
+        underlay from ``layer``) is embedded for the player's 3-D toggle.
         """
         if len(self.frames) >= self.max_frames:
             self.dropped += 1
             return False
+        ordinal = len(self.frames)
+        if (z is not None and self.embed_3d_every > 0
+                and ordinal % self.embed_3d_every == 0
+                and len(self.clouds) < self.max_3d):
+            self.clouds[ordinal] = pack_cloud_3d(
+                x, y, z, labels, center_xy, z0,
+                ground=layer, resolution=resolution,
+            )
         img = render_segmented_cloud(x, y, labels, center_xy, self.extent, self.size)
         if layer is not None:
             inset = layer_to_rgb(np.asarray(layer))
@@ -176,8 +194,12 @@ class SequenceRecorder:
             for f in self.frames
         ]
         html = _PLAYER_HTML.replace("__TITLE__", title)
+        html = html.replace("__CLOUD3D_JS__", CLOUD3D_JS)
         html = html.replace("__FRAMES__", _json.dumps(uris))
         html = html.replace("__CAPTIONS__", _json.dumps(self.captions))
+        html = html.replace(
+            "__CLOUDS__", _json.dumps({str(k): v for k, v in self.clouds.items()})
+        )
         with open(path, "w") as f:
             f.write(html)
         return path
@@ -188,20 +210,24 @@ _PLAYER_HTML = """<!DOCTYPE html>
 body{background:#111;color:#ddd;font-family:monospace;text-align:center;margin:0}
 #wrap{display:inline-block;margin-top:12px}
 img{image-rendering:pixelated;border:1px solid #333;max-width:92vw}
+#gl{border:1px solid #333;max-width:92vw;display:none;cursor:grab}
 #bar{margin:8px 0}
 button{background:#222;color:#ddd;border:1px solid #444;padding:4px 12px;
 margin:0 4px;cursor:pointer;font-family:monospace}
+button.on{background:#264;border-color:#4a8}
 input[type=range]{width:60%;vertical-align:middle}
 #cap{color:#8c8;min-height:1.2em}
 .legend span{margin:0 10px}
 </style></head><body><div id="wrap">
 <h3>__TITLE__</h3>
 <img id="view" alt="frame">
+<canvas id="gl" width="960" height="600"></canvas>
 <div id="cap"></div>
 <div id="bar">
 <button id="play">&#9654;</button>
 <button id="prev">&#9664;&#9664;</button>
 <button id="next">&#9654;&#9654;</button>
+<button id="d3" style="display:none">3-D</button>
 <input type="range" id="seek" min="0" value="0">
 <span id="pos"></span>
 <select id="fps"><option>2</option><option>5</option><option selected>10</option>
@@ -211,13 +237,30 @@ input[type=range]{width:60%;vertical-align:middle}
 <span style="color:#e63232">&#9632; non-ground</span>
 <span style="color:#888">&#9632; dropped</span></div>
 </div><script>
-const F=__FRAMES__,C=__CAPTIONS__;let i=0,t=null;
+__CLOUD3D_JS__
+const F=__FRAMES__,C=__CAPTIONS__,CL=__CLOUDS__;let i=0,t=null,mode3d=false;
 const v=document.getElementById('view'),s=document.getElementById('seek'),
 p=document.getElementById('pos'),cap=document.getElementById('cap'),
-play=document.getElementById('play');
-s.max=F.length-1;
+play=document.getElementById('play'),gl=document.getElementById('gl'),
+d3btn=document.getElementById('d3');
+const view3d=gg3dView(gl);
+const clKeys=Object.keys(CL).map(Number).sort((a,b)=>a-b);
+if(clKeys.length)d3btn.style.display='';
+function show3d(j){
+  // nearest embedded cloud at or before frame j (sparse embedding)
+  let k=-1;for(const c of clKeys){if(c<=j)k=c;else break;}
+  if(k<0)k=clKeys[0];
+  const d=CL[String(k)];
+  view3d.setCloud(d,'frame '+k+'  '+d.n+' pts (stride '+d.stride+')');
+}
 function show(j){i=(j+F.length)%F.length;v.src=F[i];s.value=i;
-p.textContent=(i+1)+'/'+F.length;cap.textContent=C[i]||'';}
+p.textContent=(i+1)+'/'+F.length;cap.textContent=C[i]||'';
+if(mode3d)show3d(i);}
+d3btn.onclick=()=>{mode3d=!mode3d;
+  d3btn.className=mode3d?'on':'';
+  v.style.display=mode3d?'none':'';
+  gl.style.display=mode3d?'':'none';
+  if(mode3d)show3d(i);};
 function tick(){show(i+1);}
 function toggle(){if(t){clearInterval(t);t=null;play.innerHTML='&#9654;';}
 else{t=setInterval(tick,1000/+document.getElementById('fps').value);
@@ -299,6 +342,78 @@ def pack_cloud_3d(
             h=b64(cm16(g[np.ix_(idx, idx)] - z0)),
         )
     return out
+
+
+# Shared browser-side 3-D renderer (used by the live page and the offline
+# player): decodes pack_cloud_3d fields and draws z-buffered perspective
+# point splats (class colors) over the terrain lattice on a 2-D canvas.
+# gg3dView(canvas) wires orbit (drag) + zoom (wheel) and exposes setCloud().
+CLOUD3D_JS = """
+function gg3dB64i16(s){const b=atob(s),u=new Uint8Array(b.length);
+  for(let i=0;i<b.length;i++)u[i]=b.charCodeAt(i);
+  return new Int16Array(u.buffer);}
+function gg3dB64u8(s){const b=atob(s),u=new Uint8Array(b.length);
+  for(let i=0;i<b.length;i++)u[i]=b.charCodeAt(i);return u;}
+function gg3dView(canvas){
+  const ctx=canvas.getContext('2d');
+  const st={yaw:0.7,pitch:0.55,dist:4200,cloud:null,label:''};
+  function render(){
+    const cloud=st.cloud;
+    if(!cloud)return;
+    const W=canvas.width,H=canvas.height,f=H*1.15;
+    const im=ctx.createImageData(W,H),px=im.data;
+    const zb=new Float32Array(W*H).fill(1e12);
+    const ca=Math.cos(st.yaw),sa=Math.sin(st.yaw);
+    const cb=Math.cos(st.pitch),sb=Math.sin(st.pitch);
+    function splat(x,y,z,r,g,b,s){
+      const t=ca*x+sa*y, w=cb*t-sb*z+st.dist;
+      if(w<60)return;
+      const u=(W>>1)+f*(-sa*x+ca*y)/w, v=(H>>1)-f*(sb*t+cb*z)/w;
+      const ui=u|0, vi=v|0;
+      for(let dv=0;dv<s;dv++)for(let du=0;du<s;du++){
+        const uu=ui+du, vv=vi+dv;
+        if(uu<0||uu>=W||vv<0||vv>=H)continue;
+        const k=vv*W+uu;
+        if(w<zb[k]){zb[k]=w;const o=k*4;
+          px[o]=r;px[o+1]=g;px[o+2]=b;px[o+3]=255;}
+      }
+    }
+    const t3=cloud.terrain;
+    if(t3){
+      const h=gg3dB64i16(t3.h), n=t3.n;
+      for(let i=0;i<n;i++)for(let j=0;j<n;j++){
+        const hv=h[i*n+j];
+        const x=t3.origin_cm+i*t3.step_cm, y=t3.origin_cm+j*t3.step_cm;
+        const c=Math.max(0,Math.min(200,110+hv*0.35));
+        splat(x,y,hv,c*0.35,c*0.5,c*0.62,3);
+      }
+    }
+    const X=gg3dB64i16(cloud.x),Y=gg3dB64i16(cloud.y);
+    const Z=gg3dB64i16(cloud.z),L=gg3dB64u8(cloud.lab);
+    for(let i=0;i<cloud.n;i++){
+      const l=L[i];
+      if(l===49)splat(X[i],Y[i],Z[i],40,220,60,2);
+      else if(l===99)splat(X[i],Y[i],Z[i],230,50,50,2);
+      else splat(X[i],Y[i],Z[i],90,90,90,2);
+    }
+    for(let k=0;k<8;k++)splat(0,0,k*25,255,255,255,3); // ego pillar
+    ctx.putImageData(im,0,0);
+    ctx.fillStyle='#9c9';ctx.font='12px monospace';
+    ctx.fillText(st.label,8,14);
+  }
+  let drag=null;
+  canvas.onmousedown=e=>{drag=[e.clientX,e.clientY];canvas.style.cursor='grabbing';};
+  window.addEventListener('mouseup',()=>{drag=null;canvas.style.cursor='grab';});
+  window.addEventListener('mousemove',e=>{if(!drag)return;
+    st.yaw+=(e.clientX-drag[0])*0.008;
+    st.pitch=Math.max(0.05,Math.min(1.5,st.pitch+(e.clientY-drag[1])*0.008));
+    drag=[e.clientX,e.clientY];render();});
+  canvas.onwheel=e=>{e.preventDefault();
+    st.dist=Math.max(500,Math.min(30000,st.dist*(e.deltaY>0?1.12:0.89)));
+    render();};
+  return {setCloud(d,label){st.cloud=d;st.label=label||'';render();},render};
+}
+"""
 
 
 def terrain_artifact(ground: np.ndarray, points_raw: np.ndarray) -> np.ndarray:

@@ -200,6 +200,32 @@ def test_live_server_follow_protocol():
         live.stop()
 
 
+def test_sequence_recorder_embed_3d(tmp_path):
+    """Offline player: sparse packed-cloud embedding + 3-D toggle assets."""
+    from groundgrid_tpu.runtime.viz import SequenceRecorder
+
+    rng = np.random.default_rng(2)
+    rec = SequenceRecorder(size=64, embed_3d_every=2, max_3d=3)
+    n = 200
+    for k in range(8):
+        rec.add(rng.uniform(-10, 10, n), rng.uniform(-10, 10, n),
+                np.full(n, 49, np.int32), np.zeros(2),
+                z=rng.uniform(-1, 1, n).astype(np.float32), z0=0.0,
+                layer=rng.uniform(-1, 1, (8, 8)).astype(np.float32),
+                resolution=0.5)
+    # every 2nd recorded frame, capped at max_3d=3
+    assert sorted(rec.clouds) == [0, 2, 4]
+    out = tmp_path / "p.html"
+    rec.write_html(str(out))
+    html = out.read_text()
+    assert "gg3dView" in html and '"terrain"' in html
+    # without z, no clouds and the (hidden) button stays hidden client-side
+    rec2 = SequenceRecorder(size=64)
+    rec2.add(np.zeros(4), np.zeros(4), np.full(4, 49, np.int32), np.zeros(2))
+    rec2.write_html(str(tmp_path / "p2.html"))
+    assert "__CLOUDS__" not in (tmp_path / "p2.html").read_text()
+
+
 def test_live_server_cloud3d_endpoint():
     """3-D toggle data path: pack round-trip + /cloud nearest-retained ring."""
     import base64
