@@ -113,10 +113,15 @@ def index_shift_ds(config: GroundGridConfig, center, center_lo, new_position):
 
     Mirrors grid_map's double-precision ``center += k * resolution``
     (GroundGrid.cpp:97 via getPosition math) to ~2^-47: k times the ds image
-    of the f64 resolution, accumulated into the (hi, lo) center pair. The
-    shift ``k`` itself snaps from the f32 delta -- centers move on an exact
-    cell lattice, so the snap is >5 orders of magnitude away from its
-    half-cell decision boundary and the f32 form cannot misround it.
+    of the f64 resolution, accumulated into the (hi, lo) center pair.
+
+    CAVEAT (device fallback only): the shift ``k`` snaps from the f32
+    position delta, so an odometry step of exactly half a cell -- a tie
+    grid_map resolves in f64 -- can misround once |position| is large enough
+    that f32 loses the tie (the r4 half-cell campaign measured a one-cell
+    transient misalignment). Production paths avoid this: the drivers track
+    the center in f64 on the host (pipeline.CenterTracker) and ship it via
+    ``Scan.center``, which ``move`` prefers over this recurrence.
     Returns (k (2,) i32, new_center (2,) f32, new_center_lo (2,) f32).
     """
     res = np.float32(config.resolution)

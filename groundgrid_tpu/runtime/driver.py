@@ -109,8 +109,9 @@ class StreamingDriver:
         self.step = None
         self.state: GridState | None = None
         self.stats = TimingStats()
-        # sorted-scan mode (config.sorted_scans): host-tracked grid center +
-        # the last applied sort permutation (to restore input point order)
+        # host-tracked f64 grid center (all modes; the tie-exact authority
+        # for the roll snap + ds binning) and, in sorted-scan mode, the last
+        # applied sort permutation (to restore input point order)
         self._tracker: CenterTracker | None = None
         self._last_order: np.ndarray | None = None
         self._last_pose: np.ndarray | None = None  # stale-transform fallback
@@ -165,9 +166,9 @@ class StreamingDriver:
         the binning agreement band, so still deterministic in practice).
         """
         self.state = state
-        if not self.config.sorted_scans:
-            self._tracker = None
-            return
+        # all modes: the tracker is the tie-exact center authority (a fresh
+        # tracker seeded from the NEXT pose would adopt that pose as the
+        # center instead of the checkpointed grid center)
         if center64 is None:
             center64 = np.asarray(state.center, np.float64)
             if state.center_lo is not None:
@@ -176,7 +177,7 @@ class StreamingDriver:
 
     @property
     def center64(self):
-        """The host tracker's exact (2,) f64 center (None in unsorted mode)."""
+        """The host tracker's exact (2,) f64 center (None before scan 1)."""
         return None if self._tracker is None else self._tracker.center64.copy()
 
     def reconfigure(self, config: GroundGridConfig) -> None:
@@ -199,6 +200,25 @@ class StreamingDriver:
             self.state = None
             self._tracker = None
 
+    def _ensure_tracker(self, pos64: np.ndarray) -> CenterTracker:
+        """The f64 center tracker, seeding from existing grid state if any.
+
+        Seeding from the grid center (not the incoming pose) keeps resumes
+        that install ``self.state`` directly -- without :meth:`restore` --
+        bit-identical to the uninterrupted run: the checkpointed center
+        trails odometry by up to half a cell, and a pose-seeded tracker
+        would adopt the pose as the center.
+        """
+        if self._tracker is None:
+            if self.state is not None:
+                c64 = np.asarray(self.state.center, np.float64)
+                if self.state.center_lo is not None:
+                    c64 = c64 + np.asarray(self.state.center_lo, np.float64)
+                self._tracker = CenterTracker(self.config, c64)
+            else:
+                self._tracker = CenterTracker(self.config, pos64)
+        return self._tracker
+
     def make_scan(self, rec: ScanRecord) -> Scan:
         import jax.numpy as jnp
 
@@ -207,8 +227,7 @@ class StreamingDriver:
         if cfg.sorted_scans:
             # f64, as grid_map tracks its center in doubles (GroundGrid.cpp:58)
             pos = rec.t_map_velo[:2, 3].astype(np.float64)
-            if self._tracker is None:
-                self._tracker = CenterTracker(cfg, pos)
+            self._ensure_tracker(pos)
             center = self._tracker.update(pos)  # idempotent for a re-sent pose
             if cfg.wire_format:
                 from groundgrid_tpu.pipeline import prepare_scan_wire
@@ -225,6 +244,18 @@ class StreamingDriver:
             )
             self._last_order = order
             return scan
+        # Unsorted mode ALSO ships the host-tracked f64 center (as a ds
+        # pair): the device's own fallback recurrence snaps the roll shift
+        # from an f32 position delta, and an odometry step of exactly half a
+        # cell -- a tie grid_map resolves in double precision
+        # (getIndexShiftFromPositionShift; golden.update_odom) -- can land on
+        # the other side of the f32 rounding once |position| is large enough
+        # (found by the r4 KITTI-operating-point campaign's half-cell drive
+        # segment: a one-cell grid misalignment for the rest of the segment).
+        pos = rec.t_map_velo[:2, 3].astype(np.float64)
+        self._ensure_tracker(pos)
+        self._tracker.update(pos)
+        chi, clo = self._tracker.center_ds()
         cap = cfg.max_points
         pts = np.zeros((3, cap), np.float32)  # SoA (see pipeline.Scan)
         rng = np.zeros((cap,), np.int32)
@@ -237,6 +268,7 @@ class StreamingDriver:
             px=jnp.asarray(pts[0]), py=jnp.asarray(pts[1]), pz=jnp.asarray(pts[2]),
             rings=jnp.asarray(rng), valid=jnp.asarray(msk),
             t_map_velo=jnp.asarray(mv), t_map_base=jnp.asarray(mb), t_base_map=jnp.asarray(bm),
+            center=jnp.asarray(chi), center_lo=jnp.asarray(clo),
         )
 
     def process(self, rec) -> Optional[ScanResult]:
@@ -286,7 +318,14 @@ class StreamingDriver:
         self.ensure_step(rec, prepared)
         t0 = time.perf_counter()
         if self.state is None:
-            self.state = init_state(self.config, rec.t_map_velo.astype(np.float32))
+            self.state = init_state(self.config, rec.t_map_velo)
+            if self._tracker is None:
+                # seed from the EXACT f64 pose (the ds grid center
+                # reconstructs it only to ~2^-48, enough to flip an exactly
+                # half-cell snap tie on the very next scan)
+                self._tracker = CenterTracker(
+                    self.config, rec.t_map_velo[:2, 3].astype(np.float64)
+                )
         if prepared is not None:
             if not self.config.sorted_scans:
                 raise ValueError("PreparedRecord requires a sorted_scans config")

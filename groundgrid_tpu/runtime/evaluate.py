@@ -61,7 +61,7 @@ def evaluate_records(
         prepared = getattr(rec, "scan", None)  # native sorted loader output
         driver.ensure_step(rec, prepared)
         if driver.state is None:
-            driver.state = init_state(config, rec.t_map_velo.astype(np.float32))
+            driver.state = init_state(config, rec.t_map_velo)
         scan = prepared if prepared is not None else driver.make_scan(rec)
         driver.state, out = driver.step(driver.state, scan)
         dev_eval.add_cloud_device(out.labels, scan.rings)

@@ -65,8 +65,9 @@ class FleetDriver:
         self.axis = axis
         self.step = make_fleet_step(config, self.mesh, axis)
         self.states = None  # batched GridState, fleet-sharded
-        # sorted-scan mode: per-vehicle host center trackers + the last
-        # applied per-vehicle sort permutations (see pipeline.prepare_scan)
+        # per-vehicle f64 host center trackers (all modes; tie-exact snap
+        # authority) + the last applied per-vehicle sort permutations
+        # (sorted-scan mode; see pipeline.prepare_scan)
         self._trackers: List[CenterTracker] | None = None
         self._orders: np.ndarray | None = None
 
@@ -74,16 +75,20 @@ class FleetDriver:
         cfg = self.config
         cap = cfg.max_points
         b = self.batch
+        # per-vehicle center trackers run in f64 in BOTH modes: grid_map
+        # resolves half-cell snap ties in double precision, and an f32-cast
+        # position can land on the other side of the tie (same fix as
+        # StreamingDriver.make_scan, found by the r4 half-cell campaign)
+        if self._trackers is None:
+            self._trackers = [
+                CenterTracker(cfg, r.t_map_velo[:2, 3].astype(np.float64))
+                for r in records
+            ]
         if cfg.sorted_scans:
-            if self._trackers is None:
-                self._trackers = [
-                    CenterTracker(cfg, r.t_map_velo[:2, 3].astype(np.float32))
-                    for r in records
-                ]
             scans, orders = [], []
             for k, rec in enumerate(records):
                 center = self._trackers[k].update(
-                    rec.t_map_velo[:2, 3].astype(np.float32)
+                    rec.t_map_velo[:2, 3].astype(np.float64)
                 )
                 scan, order = prepare_scan(
                     cfg, rec.points[:, :3], rec.labels, rec.t_map_velo, center
@@ -101,8 +106,12 @@ class FleetDriver:
         mv = np.zeros((b, 4, 4), np.float32)
         mb = np.zeros((b, 4, 4), np.float32)
         bm = np.zeros((b, 4, 4), np.float32)
+        chi = np.zeros((b, 2), np.float32)
+        clo = np.zeros((b, 2), np.float32)
         for k, rec in enumerate(records):
             t_mv, t_mb, t_bm = tf.scan_poses(rec.t_map_velo)
+            self._trackers[k].update(rec.t_map_velo[:2, 3].astype(np.float64))
+            chi[k], clo[k] = self._trackers[k].center_ds()
             count = min(rec.points.shape[0], cap)
             px[k, :count] = rec.points[:count, 0]
             py[k, :count] = rec.points[:count, 1]
@@ -111,7 +120,8 @@ class FleetDriver:
             msk[k, :count] = 1
             mv[k], mb[k], bm[k] = t_mv, t_mb, t_bm
         scan = Scan(px=px, py=py, pz=pz, rings=rng, valid=msk,
-                    t_map_velo=mv, t_map_base=mb, t_base_map=bm)
+                    t_map_velo=mv, t_map_base=mb, t_base_map=bm,
+                    center=chi, center_lo=clo)
         return shard_fleet_pytree(scan, self.mesh, self.axis)
 
     def process(self, records: Sequence[ScanRecord]) -> FleetTickResult:

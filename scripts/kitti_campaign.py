@@ -151,16 +151,24 @@ def aggregate(results: list[dict], out_md: str) -> dict:
     from groundgrid_tpu.data.labels import LABELS
     from groundgrid_tpu.eval.metrics import Evaluator
 
-    pooled = Evaluator("kitti-campaign-pooled")
-    for r in results:
-        e = Evaluator("w")
-        e.load_state_dict(r["ev_pipe"])
-        pooled.nonground_count += e.nonground_count
-        pooled.true_positive += e.true_positive
-        pooled.false_positive += e.false_positive
-        pooled.total += e.total
-        pooled.clouds += e.clouds
+    def pool(rs, name):
+        p = Evaluator(name)
+        for r in rs:
+            e = Evaluator("w")
+            e.load_state_dict(r["ev_pipe"])
+            p.nonground_count += e.nonground_count
+            p.true_positive += e.true_positive
+            p.false_positive += e.false_positive
+            p.total += e.total
+            p.clouds += e.clouds
+        return p
+
+    pooled = pool(results, "kitti-campaign-pooled")
     mp = pooled.compute().as_dict()
+    # forward cruise = the clean operating-point proxy (the README table was
+    # produced on a normal drive); city/rain add the adversarial content
+    fwd = [r for r in results if r["variant"] == "forward" and not r["rain"]]
+    mp_fwd = pool(fwd, "fwd").compute().as_dict() if fwd else None
 
     total_scans = sum(r["scans"] for r in results)
     total_points = sum(r["total_points"] for r in results)
@@ -214,13 +222,20 @@ def aggregate(results: list[dict], out_md: str) -> dict:
         "",
         "These are the PIPELINE's pooled scores on the synthetic world, "
         "next to the reference's published real-data numbers — an "
-        "operating-point check, not a parity claim (different content):",
+        "operating-point check, not a parity claim (different content). "
+        "The forward-cruise column is the operating-point proxy (the "
+        "README table comes from a normal drive); the all-configs column "
+        "additionally pools the adversarial city segments (stop / reverse "
+        "/ half-cell / movers) and rain, which intentionally depress the "
+        "scores:",
         "",
-        "| metric | pipeline (pooled) | reference seq-00 |",
-        "|---|---|---|",
+        "| metric | forward cruise | all configs | reference seq-00 |",
+        "|---|---|---|---|",
     ]
     for k in HEADLINE:
-        lines.append(f"| {k} | {mp[k] * 100:.2f}% | {REF_HEADLINE[k]:.2f}% |")
+        f_col = f"{mp_fwd[k] * 100:.2f}%" if mp_fwd else "—"
+        lines.append(f"| {k} | {f_col} | {mp[k] * 100:.2f}% "
+                     f"| {REF_HEADLINE[k]:.2f}% |")
     lines += [
         "",
         "## Pooled per-class ground% vs README table",
@@ -260,6 +275,8 @@ def aggregate(results: list[dict], out_md: str) -> dict:
         configs=len(results), scans=total_scans, points=total_points,
         max_abs_delta_pt=max_delta, mismatches=total_mismatch,
         pooled_headline={k: mp[k] * 100 for k in HEADLINE},
+        forward_cruise_headline=(
+            {k: mp_fwd[k] * 100 for k in HEADLINE} if mp_fwd else None),
     )
 
 

@@ -302,3 +302,56 @@ def test_stale_pose_prepared_record_always_drops(tiny_config, caplog):
     with caplog.at_level(logging.WARNING, logger="groundgrid_tpu.runtime.driver"):
         assert drv.process(bad) is None
     assert any("dropping scan" in r.message for r in caplog.records)
+
+
+def test_halfcell_tie_snap_matches_golden():
+    """Exact half-cell odometry: grid center must track grid_map's f64 snap.
+
+    grid_map resolves the half-cell snap tie in double precision
+    (getIndexShiftFromPositionShift); a snap computed from f32 position
+    deltas misrounds it for most |position| (the r4 KITTI-operating-point
+    campaign measured a transient one-cell grid misalignment through its
+    half-cell drive segment). The driver must ship the host CenterTracker's
+    f64 center in EVERY mode, so the device center reconstructs golden's
+    bitwise. Start x = 100.0 is a known-diverging start for the f32
+    fallback (k-sequence flips at step 5 of 8).
+    """
+    from groundgrid_tpu.core import transforms as tf
+    from groundgrid_tpu.data.semantickitti import ScanRecord
+    from groundgrid_tpu.golden import GoldenGroundGrid
+
+    cfg = GroundGridConfig(
+        dimension=24.0, resolution=0.33, max_points=2048, ray_steps=28,
+        max_outlier_candidates=256,
+    )
+    driver = StreamingDriver(cfg)
+    golden = GoldenGroundGrid(cfg)
+    rng = np.random.default_rng(5)
+    pts_velo = np.concatenate(
+        [rng.uniform(-8, 8, (512, 2)), rng.uniform(-1.6, -1.4, (512, 1)),
+         np.zeros((512, 1))], axis=1,
+    ).astype(np.float32)
+    lbl = np.full(512, 40, np.int32)  # road
+
+    x = np.float64(100.0)
+    half = np.float64(cfg.resolution) / 2.0  # exact halving
+    for i in range(9):
+        T = np.eye(4, dtype=np.float64)
+        T[0, 3] = x
+        T[2, 3] = 1.7
+        rec = ScanRecord(index=i, timestamp=0.1 * i, points=pts_velo,
+                         labels=lbl, t_map_velo=T)
+        res = driver.process(rec)
+        assert res is not None
+        _, _, bm = tf.scan_poses(T)
+        golden.update_odom(T, np.asarray(bm, np.float64))
+        dev_center = np.asarray(driver.state.center, np.float64)
+        if driver.state.center_lo is not None:
+            dev_center = dev_center + np.asarray(driver.state.center_lo, np.float64)
+        np.testing.assert_allclose(
+            dev_center, golden.state.center, rtol=0, atol=2e-13,
+            err_msg=f"scan {i}: device center diverged from grid_map's f64 snap",
+        )
+        # the host tracker itself must be bitwise-equal to golden
+        np.testing.assert_array_equal(driver.center64, golden.state.center)
+        x = x + half
