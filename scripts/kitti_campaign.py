@@ -283,7 +283,7 @@ def aggregate(results: list[dict], out_md: str) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("mode", nargs="?", default="launch",
-                    choices=["launch", "worker"])
+                    choices=["launch", "worker", "aggregate"])
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--variant", default="city")
     ap.add_argument("--scans", type=int, default=160)
@@ -297,6 +297,20 @@ def main() -> None:
 
     if args.mode == "worker":
         run_worker(args.seed, args.variant, args.scans, args.rain, args.out)
+        return
+
+    if args.mode == "aggregate":
+        # Rebuild the artifact from already-completed worker JSONs (e.g.
+        # after re-running a subset of configs against fixed code).
+        import glob
+
+        results = []
+        for path in sorted(glob.glob("/tmp/kitti_campaign/*.json")):
+            with open(path) as f:
+                results.append(json.load(f))
+        results.sort(key=lambda r: (r["variant"], r["rain"], r["seed"]))
+        summary = aggregate(results, args.out_md)
+        print(json.dumps(summary, indent=2))
         return
 
     matrix = campaign_matrix(args.quick)
