@@ -355,3 +355,72 @@ def test_halfcell_tie_snap_matches_golden():
         # the host tracker itself must be bitwise-equal to golden
         np.testing.assert_array_equal(driver.center64, golden.state.center)
         x = x + half
+
+
+def test_center_tracker_fuzz_vs_golden():
+    """Host CenterTracker == grid_map's f64 center recurrence, bitwise, fuzzed.
+
+    The tracker (pipeline.CenterTracker) is the center authority shipped on
+    every Scan (the 644ff47 rule); the golden oracle keeps a deliberately
+    independent copy of grid_map's getIndexShiftFromPositionShift math
+    (golden.py:119-124, GroundGrid.cpp:83-99). Fuzz both over adversarial
+    odometry -- exact half-cell ties and near-ties (a few ulps off) at
+    |position| from 0 to 1e5, (m + 1/2)-cell steps, reverse runs, zero
+    steps, and teleports -- across dyadic and non-dyadic resolutions. Any
+    snap-rule or accumulation drift between the two f64 recurrences breaks
+    the bitwise assert immediately.
+    """
+    from groundgrid_tpu.core import transforms as tf
+    from groundgrid_tpu.golden import GoldenGroundGrid
+    from groundgrid_tpu.pipeline import CenterTracker
+
+    rng = np.random.default_rng(20260819)
+    for res in (0.05, 0.1, 0.25, 0.33, 0.5, 1.0):
+        cfg = GroundGridConfig(
+            dimension=32 * res, resolution=res, max_points=256,
+            ray_steps=8, max_outlier_candidates=64,
+        ).validate()
+        res64 = np.float64(res)
+        for trial in range(3):
+            mag = rng.choice([0.0, 10.0, 1e3, 1e5])
+            pos = rng.uniform(-1.0, 1.0, 2) * (mag + 1.0)
+            golden = GoldenGroundGrid(cfg)
+            tracker = None
+            for step in range(120):
+                T = np.eye(4, dtype=np.float64)
+                T[:2, 3] = pos
+                T[2, 3] = 1.7
+                _, _, bm = tf.scan_poses(T)
+                golden.update_odom(T, np.asarray(bm, np.float64))
+                if tracker is None:
+                    tracker = CenterTracker(cfg, pos)  # init adopts the pose
+                else:
+                    tracker.update(pos)
+                np.testing.assert_array_equal(
+                    tracker.center64, golden.state.center,
+                    err_msg=(f"res={res} trial={trial} step={step}: "
+                             f"tracker diverged from grid_map recurrence"),
+                )
+                kind = rng.choice(
+                    ["half", "half", "near", "cells_half", "rand", "zero",
+                     "teleport"],
+                    p=[0.25, 0.10, 0.15, 0.15, 0.20, 0.10, 0.05],
+                )
+                axis = rng.integers(0, 2)
+                sgn = rng.choice([-1.0, 1.0])
+                if kind == "half":
+                    pos[axis] += sgn * res64 / 2.0
+                elif kind == "near":  # a few ulps off the exact tie
+                    ulps = rng.integers(-4, 5)
+                    d = res64 / 2.0
+                    step_m = d if ulps == 0 else np.nextafter(
+                        d, d * (2.0 if ulps > 0 else 0.0)) + (
+                        abs(ulps) - 1) * np.spacing(d) * np.sign(ulps)
+                    pos[axis] += sgn * step_m
+                elif kind == "cells_half":
+                    m = rng.integers(-3, 4)
+                    pos[axis] += (m + 0.5) * res64
+                elif kind == "rand":
+                    pos += rng.uniform(-2.0, 2.0, 2) * res64
+                elif kind == "teleport":
+                    pos = rng.uniform(-1.0, 1.0, 2) * (mag + 50.0)
