@@ -424,3 +424,62 @@ def test_center_tracker_fuzz_vs_golden():
                     pos += rng.uniform(-2.0, 2.0, 2) * res64
                 elif kind == "teleport":
                     pos = rng.uniform(-1.0, 1.0, 2) * (mag + 50.0)
+
+
+def test_fleet_halfcell_tie_matches_streaming(tiny_config):
+    """Fleet drivers at the half-cell snap tie == streaming, bitwise.
+
+    FleetDriver's per-vehicle CenterTrackers were seeded/updated with
+    f32-cast positions until 644ff47 (the same tie-loss as the device
+    fallback); this drives every vehicle through the known-diverging
+    exact-half-cell segment from x = 100 + v and pins fleet == streaming
+    labels plus fleet tracker == golden's f64 center recurrence.
+    """
+    import dataclasses
+
+    from groundgrid_tpu.core import transforms as tf
+    from groundgrid_tpu.data.semantickitti import ScanRecord
+    from groundgrid_tpu.golden import GoldenGroundGrid
+    from groundgrid_tpu.runtime.fleet import FleetDriver
+
+    cfg = dataclasses.replace(tiny_config, resolution=0.33)
+    n_dev = len(jax.devices())
+    half = np.float64(cfg.resolution) / 2.0
+    rng = np.random.default_rng(9)
+    sequences = []
+    for v in range(n_dev):
+        pts = np.concatenate(
+            [rng.uniform(-8, 8, (256, 2)), rng.uniform(-1.6, -1.4, (256, 1)),
+             np.zeros((256, 1))], axis=1,
+        ).astype(np.float32)
+        lbl = np.full(256, 40, np.int32)
+        recs = []
+        x = np.float64(100.0 + v)
+        for k in range(6):
+            T = np.eye(4, dtype=np.float64)
+            T[0, 3] = x
+            T[2, 3] = 1.7
+            recs.append(ScanRecord(index=k, timestamp=0.1 * k, points=pts,
+                                   labels=lbl, t_map_velo=T))
+            x = x + half
+        sequences.append(recs)
+
+    fleet = FleetDriver(cfg, batch=n_dev)
+    ticks = list(fleet.run(sequences))
+    assert len(ticks) == 6
+
+    for v in range(n_dev):
+        driver = StreamingDriver(cfg)
+        golden = GoldenGroundGrid(cfg)
+        for k, rec in enumerate(sequences[v]):
+            res = driver.process(rec)
+            _, _, bm = tf.scan_poses(rec.t_map_velo)
+            golden.update_odom(rec.t_map_velo, np.asarray(bm, np.float64))
+            np.testing.assert_array_equal(
+                ticks[k].labels[v][: res.n_points], res.labels,
+                err_msg=f"vehicle {v} scan {k}: fleet != streaming at the tie",
+            )
+        np.testing.assert_array_equal(
+            fleet._trackers[v].center64, golden.state.center,
+            err_msg=f"vehicle {v}: fleet tracker lost the f64 tie",
+        )
