@@ -38,6 +38,9 @@ def run_accuracy_benchmark(
     adversarial: bool = True,
     progress=None,
     chaos_control: bool = False,
+    world: str = "",
+    variant: str = "city",
+    rain_rate: float = 0.0,
 ) -> dict:
     """Run the TPU pipeline and the golden oracle over the same sequence.
 
@@ -72,7 +75,20 @@ def run_accuracy_benchmark(
     from groundgrid_tpu.runtime.driver import StreamingDriver
     from groundgrid_tpu.data.semantickitti import ScanRecord
 
-    gen = adversarial_sequence if adversarial else synthetic_sequence
+    if world == "kitti":
+        # KITTI-operating-point urban world (data/kitti_world.py): scored
+        # profile tuned to the reference's seq-00 table so parity is
+        # measured in its ~98-99 % recall regime (ACCURACY_r4.md campaign)
+        import functools
+
+        from groundgrid_tpu.data.kitti_world import kitti_sequence
+
+        gen = functools.partial(
+            kitti_sequence, variant=variant, rain_rate=rain_rate,
+            resolution=config.resolution,
+        )
+    else:
+        gen = adversarial_sequence if adversarial else synthetic_sequence
     driver = StreamingDriver(config)
     golden = GoldenGroundGrid(config)
     ev_pipe = Evaluator("accuracy")
@@ -165,6 +181,9 @@ def run_accuracy_benchmark(
         workload=dict(
             n_scans=n_scans, seed=seed, n_beams=n_beams, n_azimuth=n_azimuth,
             step_m=step_m, adversarial=adversarial,
+            world=world or ("adversarial" if adversarial else "benign"),
+            variant=variant if world == "kitti" else "",
+            rain_rate=rain_rate if world == "kitti" else 0.0,
             dimension=config.dimension, resolution=config.resolution,
             cells=config.cell_count, total_points=total_pts,
             wall_s=time.monotonic() - t0,
@@ -192,13 +211,16 @@ def format_accuracy_report(result: dict) -> str:
         "",
         "Generated by `groundgrid-tpu accuracy` "
         "(`groundgrid_tpu/eval/accuracy.py`). Both engines consumed the "
-        "identical adversarial synthetic sequence; both outputs were scored "
+        f"identical {w.get('world', 'adversarial')} synthetic sequence; "
+        "both outputs were scored "
         "with the reference scorer logic (`eval/metrics.py`, verified "
         "against `eval_groundpoint_classifier.py:135-195`).",
         "",
         f"- workload: {w['n_scans']} scans x ~{w['total_points'] // max(w['n_scans'], 1)}"
         f" pts (seed {w['seed']}, {w['n_beams']} beams x {w['n_azimuth']} azimuth,"
-        f" step {w['step_m']} m, adversarial={w['adversarial']})",
+        f" step {w['step_m']} m, world={w.get('world', 'adversarial' if w.get('adversarial', True) else 'benign')}"
+        + (f" variant={w['variant']} rain={w['rain_rate']}"
+           if w.get("world") == "kitti" else "") + ")",
         f"- geometry: {w['dimension']} m / {w['resolution']} m => "
         f"{w['cells']}x{w['cells']} cells",
         f"- pipeline backend: {w['backend']}; wall {w['wall_s']:.0f} s "

@@ -432,6 +432,7 @@ def cmd_accuracy(args) -> int:
         adversarial=not args.benign,
         progress=lambda s: print(s, file=sys.stderr, flush=True),
         chaos_control=(args.chaos_mode if args.chaos_control else False),
+        world=args.world, variant=args.variant, rain_rate=args.rain,
     )
     report = format_accuracy_report(result)
     if args.output:
@@ -520,6 +521,20 @@ def main(argv=None) -> int:
     p_acc.add_argument("--step", type=float, default=1.2, help="metres per scan")
     p_acc.add_argument("--benign", action="store_true",
                        help="use the benign scene generator instead")
+    p_acc.add_argument("--world", choices=("", "kitti"), default="",
+                       help="kitti: the KITTI-operating-point urban world "
+                            "(scored profile tuned to the reference's "
+                            "seq-00 table, ~98-99%% recall regime -- the "
+                            "ACCURACY_r4.md campaign generator); default: "
+                            "the adversarial (or --benign) world")
+    p_acc.add_argument("--variant", choices=("city", "forward"),
+                       default="city",
+                       help="kitti world drive plan: city = cruise + stop "
+                            "+ reverse + exact-half-cell + moving cars; "
+                            "forward = pure cruise")
+    p_acc.add_argument("--rain", type=float, default=0.0,
+                       help="kitti world rain rate (ring dropout + "
+                            "airborne clutter), e.g. 0.15")
     p_acc.add_argument("--output", default="", help="markdown artifact path")
     p_acc.add_argument("--budget-pt", type=float, default=0.1,
                        help="max |delta| in percentage points for exit code 0")

@@ -139,3 +139,20 @@ def test_chaos_control_modes_report_envelope():
     assert r2["chaos_mode"] == "perm"
     # the order class is bitwise-inert: envelope exactly zero
     assert r2["max_abs_chaos_envelope_pt"] == 0.0
+
+
+def test_kitti_world_via_benchmark_api():
+    """`world="kitti"` routes the KITTI-operating-point generator through
+    the same benchmark/CLI surface (the campaign regime, ACCURACY_r4.md),
+    and parity holds there at CI geometry too."""
+    cfg = GroundGridConfig(dimension=60.0, resolution=0.5, max_points=32768)
+    r = run_accuracy_benchmark(
+        cfg, n_scans=6, seed=1, n_beams=32, n_azimuth=900, step_m=1.2,
+        world="kitti", variant="city",
+    )
+    assert r["workload"]["world"] == "kitti"
+    assert r["workload"]["variant"] == "city"
+    assert r["pipeline"]["clouds"] == r["golden"]["clouds"] == 6
+    assert r["max_abs_delta_pt"] < 0.1, r["delta_pt"]
+    for k in HEADLINE:
+        assert np.isfinite(r["pipeline"][k])
