@@ -144,6 +144,11 @@ def campaign_matrix(quick: bool) -> list[dict]:
         dict(seed=2, variant="forward", scans=60, rain=0.0),
         dict(seed=3, variant="city", scans=80, rain=0.15),
         dict(seed=4, variant="city", scans=80, rain=0.25),
+        # round-4 extension: one long city drive, a fourth cruise seed, and
+        # a third rain level (between the 0.15/0.25 points above)
+        dict(seed=5, variant="city", scans=200, rain=0.0),
+        dict(seed=3, variant="forward", scans=60, rain=0.0),
+        dict(seed=6, variant="city", scans=80, rain=0.2),
     ]
 
 
@@ -329,6 +334,14 @@ def main() -> None:
                 tmpdir,
                 f"{c['variant']}_s{c['seed']}_r{c['rain']}.json",
             )
+            if os.path.exists(out):
+                # resumable launch: a completed worker JSON from an earlier
+                # (possibly interrupted) run is reused as-is; delete the
+                # file to force a re-run after code changes.
+                with open(out) as f:
+                    results.append(json.load(f))
+                print(f"reusing completed worker {c} -> {out}", flush=True)
+                continue
             logf = open(out + ".log", "w")
             p = subprocess.Popen(
                 [sys.executable, os.path.abspath(__file__), "worker",
