@@ -81,17 +81,22 @@ class GroundGridConfig:
     # design and harmlessly: the confidence map is all-zero, so no march can
     # fire anywhere.
     max_outlier_candidates: int = 8192
-    # Candidates per march dispatch: the ray-march runs as a
-    # ``lax.while_loop`` over budget-sorted chunks of this size, stopping at
-    # the scan's actual candidate count (core/outliers.py). Warm scans
-    # (<~1k candidates at the default geometry) run ONE chunk; occlusion
-    # storms run up to ``max_outlier_candidates / march_chunk``. This shape
-    # was chosen over a lax.switch tier ladder after measurement: TPU
-    # conditionals are scheduling barriers and their cost scales with the
+    # Widest-tier candidate width of the budget-tiered ray-march
+    # (core/outliers.py): steps [3, 8) march this many budget-sorted
+    # candidates per chunk, steps [8, 64) half as many, steps
+    # [64, ray_steps) an eighth (the tiers follow the measured bimodal
+    # warm-scan budget distribution, scripts/march_stats.py). Every tier's
+    # FIRST chunk is peeled into one fused lattice (warm scans never run a
+    # while_loop -- a 1-trip loop costs ~100 us in serial structure alone);
+    # occlusion storms continue in per-tier while_loops that stop at each
+    # tier's actual active-prefix count, up to
+    # ``max_outlier_candidates / (march_chunk / tier_div)`` chunks. A
+    # lax.switch chunk-size ladder was measured and rejected: TPU
+    # conditionals are scheduling barriers whose cost scales with the
     # branch bodies PRESENT, not just the branch taken -- a 4-tier
     # 1024/2048/4096/8192 switch cost +0.5 ms/scan and a 2-tier 2048/8192
-    # +0.8 ms/scan over the loop form, on steps whose candidates fit the
-    # smallest tier either way.
+    # +0.8 ms/scan, on steps whose candidates fit the smallest tier either
+    # way.
     march_chunk: int = 1024
     # Reproduce the reference's "drop points within 3 cells of the max-index
     # border" quirk (GroundSegmentation.cpp:167-168).

@@ -201,11 +201,20 @@ def detect_outliers(
         cand & (vz_all < np.float32(-0.01)), len2_all, 0.0
     )
 
-    # near/far step split: steps < TIER_SPLIT march for EVERY candidate,
-    # steps >= TIER_SPLIT only for the (few) candidates whose ray budget
-    # reaches them -- see the chunk loop below
-    TIER_SPLIT = 32
-    split = min(TIER_SPLIT, config.ray_steps)
+    # Budget-tiered step ranges (measured on the bench workload,
+    # scripts/march_stats.py): warm-scan budgets are bimodal -- most
+    # candidates are either short (< 8 m) or mid-range (12-64 m), and almost
+    # none reach step 64 -- so the lattice runs as THREE tiers with
+    # descending candidate widths: steps [3, 8) for every buffered
+    # candidate, [8, 64) for the budget-sorted prefix at half width, and
+    # [64, ray_steps) at 1/8 width. Each tier is its own chunked while_loop
+    # (no lax.cond anywhere: TPU conditionals are scheduling barriers that
+    # cost ~70 us even untaken -- the round-3 far-tier cond this replaces).
+    # Tier widths in 1/8ths of march_chunk: the mid tier's 5/8 (640) sits
+    # just above the measured warm-scan p-max of budget>=8^2 counts (~590),
+    # so its storm loop never fires on warm scans.
+    TIER_STEPS = (8, 64)
+    TIER_EIGHTHS = (8, 5, 1)
 
     # ---- candidate compaction: ONE budget-descending sort ----
     # (A cumsum + vectorized-binary-search compaction was measured ~3x
@@ -238,44 +247,57 @@ def detect_outliers(
     else:
         _, pidx = lax.top_k(budget_all, k_max)
 
-    # exact counts, elementwise over all P (no gathers). n_far uses the
-    # truncated encoding: the sort orders by (truncated budget, index), so
-    # counting with the same truncation keeps every candidate with exact
-    # budget >= split inside the first n_far positions (truncation is
-    # monotone => a superset of the exact set, which is always safe: the
-    # extra borderline rows' ``within`` masks still apply the exact test).
-    n_run = jnp.sum((budget_all > 0).astype(jnp.int32))
-    # budgets carry fl32(length^2), so the far threshold is split^2 (exact
-    # in f32 for split <= 2^12); >= split^2 is a superset of the exact
-    # ``kk^2 < budget`` far condition at kk == split, which is always safe
-    trunc_split = np.uint32(
-        (int((np.float32(split) * np.float32(split)).view(np.uint32)) | 0x80000000)
-        & ~int(idx_mask)
-    )
-    n_far = jnp.sum((trunc_all >= trunc_split).astype(jnp.int32))
+    # Per-tier prefix counts, elementwise over all P (no gathers). Each
+    # count uses the truncated budget encoding: the sort orders by
+    # (truncated budget, index), so counting with the same truncation keeps
+    # every candidate with exact budget >= s^2 inside the first count
+    # positions (truncation is monotone => a superset of the exact set,
+    # which is always safe: the extra borderline rows' ``within`` masks
+    # still apply the exact test). Budgets carry fl32(length^2), so the
+    # tier thresholds are s^2 -- exact in f32 for s <= 2^12. The first
+    # tier gates on prefix_count(3), not count(budget > 0): a candidate
+    # with 0 < budget < 9 has ``within == False`` at every step >= 3, so
+    # skipping it entirely is exact.
 
-    # static chunk geometry (used by lattice_hits gating and the loop below)
-    chunk = min(config.march_chunk, k_max)
-    n_chunks = -(-k_max // chunk)  # static ceil
-    k_far = max(chunk // 4, 128)  # measured best of {k/2, k/4} on TPU
+    def prefix_count(s: int):
+        t = np.uint32(
+            (int((np.float32(s) * np.float32(s)).view(np.uint32)) | 0x80000000)
+            & ~int(idx_mask)
+        )
+        return jnp.sum((trunc_all >= t).astype(jnp.int32))
+
+    # static tier geometry: (s_lo, s_hi, chunk, active-prefix count)
+    base_chunk = min(config.march_chunk, k_max)
+    bounds = [3]
+    for s in TIER_STEPS:
+        if bounds[-1] < s < config.ray_steps:
+            bounds.append(s)
+    bounds.append(config.ray_steps)
+    tiers = []
+    for t, (s_lo, s_hi) in enumerate(zip(bounds, bounds[1:])):
+        tchunk = min(max(base_chunk * TIER_EIGHTHS[t] // 8, 1), k_max)
+        tiers.append((s_lo, s_hi, tchunk, prefix_count(s_lo)))
 
     # the march-lattice table reads: 1-column u32 key table for the
     # sorted-lookup kernel route; the (N*N, 2) pair table only if some
     # lattice call must take the XLA row-gather route (its build is a
     # ~105 us relayout broadcast -- skip it when nothing reads it)
     key_table_f = lax.bitcast_convert_type(key_flat, jnp.float32)
-    far_steps = max(config.ray_steps - split, 0)
-    lattice_rows = [chunk * (split - 3)]
-    if far_steps:
-        lattice_rows += [k_far * far_steps, chunk * far_steps]
+    peeled_rows = sum(tc * (s_hi - s_lo) for s_lo, s_hi, tc, _ in tiers)
+    lattice_rows = [peeled_rows] + [
+        tc * (s_hi - s_lo)
+        for s_lo, s_hi, tc, _ in tiers
+        if -(-k_max // tc) > 1
+    ]
     needs_xla = (not use_lookup_kernel) or any(
         r % _LOOKUP_GROUP for r in lattice_rows
     )
     if needs_xla and pair_table is None:
         pair_table = _pair_table(config, ground, groundpatch, key_only)
 
-    def lattice_hits(kv, s_lo: int, s_hi: int) -> jax.Array:
-        """(k', s_hi-s_lo) march lattice -> per-candidate 0/1 hits.
+    def lattice_parts(kv, s_lo: int, s_hi: int):
+        """One tier's (s_hi-s_lo, k') march lattice, stopping short of the
+        table read: returns ``(flat_cell, threshold, within & inside)``.
 
         2-D broadcasts instead of flat candidate-id gathers: device
         traces show per-element gathers/scatters run serially
@@ -283,23 +305,29 @@ def detect_outliers(
         the per-candidate scatter of the flat formulation cost ~34 ms;
         the broadcast form leaves exactly ONE serial gather (the
         occlusion key table).
+
+        STEP-MAJOR layout: the candidate axis is the minor (lane) axis.
+        Candidate-major (k', S) arrays waste lanes badly -- a (1024, 5)
+        tier pads its minor dim to 128 lanes (25x) -- while (S, k') keeps
+        every vreg full (k' is always a multiple of 128 at the default
+        geometry); measured ~2x on the lattice's elementwise bucket.
         """
         bvx, bvy, bvz, bbudget = kv
         kk = lax.broadcasted_iota(
-            jnp.float32, (bvx.shape[0], s_hi - s_lo), 1
+            jnp.float32, (s_hi - s_lo, bvx.shape[0]), 0
         ) + np.float32(s_lo)
         # the oracle's loop test is step^2 < fl32(length^2) (golden.py:202,
         # numpy promotes the int to f32); kk^2 is exact for kk < 2^12 and
         # the budget arrays carry fl32(length^2)
-        within = kk * kk < bbudget[:, None]
+        within = kk * kk < bbudget[None, :]
 
         # sample positions and the ray-height threshold must round exactly
         # like the oracle's separate f32 ops (origin + fl(step*vec)); the
         # barriers pin the products against XLA FMA contraction, which
         # would fuse them EXACTER than the oracle and shift near-edge
         # samples / near-threshold heights by an ulp
-        sx = origin[0] + exactf32.barrier(kk * bvx[:, None])
-        sy = origin[1] + exactf32.barrier(kk * bvy[:, None])
+        sx = origin[0] + exactf32.barrier(kk * bvx[None, :])
+        sy = origin[1] + exactf32.barrier(kk * bvy[None, :])
         # f64-faithful lattice binning (GroundSegmentation.cpp:262-268 bins
         # ray samples through grid_map's double-precision index math; the
         # ds form matches it bitwise outside a ~1e-12 m edge band -- same
@@ -307,8 +335,20 @@ def detect_outliers(
         i0, i1 = faithful_cells(config, center, center_lo, sx, sy)
         inside = (i0 > 0) & (i1 > 0) & (i0 < n - 1) & (i1 < n - 1)
         flat = jnp.clip(i0, 0, n - 1) * n + jnp.clip(i1, 0, n - 1)
-        thr = _mono_u32(exactf32.barrier(kk * bvz[:, None]) + origin[2] + tol)
-        rows = flat.shape[0] * flat.shape[1]
+        thr = _mono_u32(exactf32.barrier(kk * bvz[None, :]) + origin[2] + tol)
+        return flat, thr, within & inside
+
+    def table_hits(parts):
+        """Table reads + per-candidate hit reduction for one OR MORE tier
+        lattices in a single pass: the parts' flattened rows concatenate
+        into one table read (one sort pair + one kernel call on the
+        sorted-lookup route), and the hits split back per part. Returns one
+        (k',) 0/1 array per part.
+        """
+        sizes = [p[0].shape[0] * p[0].shape[1] for p in parts]
+        rows = sum(sizes)
+        flat1 = jnp.concatenate([p[0].reshape(-1) for p in parts])
+        thr1 = jnp.concatenate([p[1].reshape(-1) for p in parts])
         if use_lookup_kernel and rows % _LOOKUP_GROUP == 0:
             # sorted-lookup route: XLA row gathers run ~8 ns/row serial on
             # this backend, the lookup kernel's lane gathers ~0.5 ns/row on
@@ -319,9 +359,10 @@ def detect_outliers(
             # values, and the restore key -- the position -- is unique).
             from groundgrid_tpu.ops.pallas_lookup import sorted_lookup
 
-            flat1 = flat.reshape(-1).astype(jnp.uint32)
             pos = jnp.arange(rows, dtype=jnp.uint32)
-            cell_s, pos_s = lax.sort((flat1, pos), num_keys=1, is_stable=False)
+            cell_s, pos_s = lax.sort(
+                (flat1.astype(jnp.uint32), pos), num_keys=1, is_stable=False
+            )
             (val_s,) = sorted_lookup(
                 cell_s.astype(jnp.int32), [key_table_f], n * n,
                 interpret=_interpret,
@@ -330,38 +371,59 @@ def detect_outliers(
                 (pos_s, lax.bitcast_convert_type(val_s, jnp.uint32)),
                 num_keys=1, is_stable=False,
             )
-            key_hit = val_u.reshape(flat.shape) >= thr
+            key_hit1 = val_u >= thr1
         elif key_only:
             # both table columns hold the key: test in the gather's
             # native (rows, 2) layout -- no column extract/relayout
-            pairs = lax.bitcast_convert_type(pair_table[flat], jnp.uint32)
-            key_hit = jnp.any(pairs >= thr[..., None], axis=-1)
+            pairs = lax.bitcast_convert_type(pair_table[flat1], jnp.uint32)
+            key_hit1 = jnp.any(pairs >= thr1[:, None], axis=-1)
         else:
-            key = lax.bitcast_convert_type(pair_table[flat][..., 0], jnp.uint32)
-            key_hit = key >= thr
-        hit = within & inside & key_hit
-        return jnp.any(hit, axis=1).astype(jnp.int32)
+            key = lax.bitcast_convert_type(
+                pair_table[flat1][:, 0], jnp.uint32
+            )
+            key_hit1 = key >= thr1
+        hits = []
+        off = 0
+        for (flat, _, mask), size in zip(parts, sizes):
+            kh = lax.slice_in_dim(key_hit1, off, off + size).reshape(flat.shape)
+            off += size
+            hits.append(jnp.any(mask & kh, axis=0).astype(jnp.int32))
+        return hits
 
-    # ---- chunked march: a while_loop over budget-sorted chunks ----
-    # The march cost is linear in the lattice row count (a serial (rows, 2)
-    # row gather at ~8-10 ns/row), so the buffer is processed in fixed
-    # ``march_chunk``-candidate chunks and the loop STOPS at the scan's
-    # actual marchable-candidate count: warm scans (<~1k candidates) run one
-    # chunk; occlusion storms (bridge underpasses reach ~5500 fired
-    # outliers) run up to k_max/chunk. Exact: the budget sort makes
-    # marchable candidates a prefix, chunks partition the buffer, and each
-    # chunk's candidates see the identical per-ray test. A lax.switch tier
-    # ladder was measured and rejected -- TPU conditionals are scheduling
-    # barriers whose cost grows with the branch bodies PRESENT (a 4-tier
-    # ladder cost +0.5 ms/scan, a 2-tier 2048/8192 ladder +0.8 ms/scan on
-    # steps that only ever took the smallest tier). Within each chunk the
-    # step range is budget-tiered: every candidate marches the near steps
-    # [3, TIER_SPLIT); the far steps [TIER_SPLIT, ray_steps) run for a
-    # budget-prefix only (identical results: a candidate with budget <
-    # TIER_SPLIT has ``within == False`` at every far step). Under vmap a
-    # while_loop runs until every batch lane is done; the fleet path batches
-    # with lax.map, which keeps the per-vehicle trip counts independent.
-    pad_to = n_chunks * chunk
+    # ---- tiered march: peeled first chunk + per-tier storm loops ----
+    # The march's dominant cost at warm candidate counts is SERIAL
+    # STRUCTURE, not lattice rows (measured: a 1-trip while_loop costs
+    # ~80-110 us regardless of body size -- loop barrier + chunk gathers +
+    # sort pair + kernel dispatch -- while kernel lattice rows cost
+    # ~0.6 ns/row). So the first chunk of every tier is PEELED out of the
+    # loops and fused into ONE combined lattice: one set of candidate
+    # gathers (the tier widths nest, so narrower tiers slice prefixes of
+    # the widest tier's chunk data), one table read (one sort pair + one
+    # lookup-kernel call), one hit scatter. Warm scans (every tier's
+    # active prefix inside its first chunk -- the overwhelmingly common
+    # case, scripts/march_stats.py) never touch a while_loop at all; the
+    # per-tier loops only engage from chunk 1 on occlusion storms (bridge
+    # underpasses reach ~5500 fired outliers; cold starts buffer k_max).
+    #
+    # Exact: the budget sort makes each tier's active candidates a prefix,
+    # the peeled chunk + loop chunks cover that prefix, and every chunk's
+    # candidates see the identical per-ray test (a candidate below a
+    # tier's budget threshold has ``within == False`` at every tier step,
+    # so over-processing -- peeled slots beyond the active count, or the
+    # truncated prefix encoding's borderline extras -- is harmless, and
+    # re-marching a slot is idempotent under the .max() scatter). A
+    # lax.switch chunk-size ladder was measured and rejected -- TPU
+    # conditionals are scheduling barriers whose cost grows with the branch
+    # bodies PRESENT (a 4-tier ladder cost +0.5 ms/scan, a 2-tier ladder
+    # +0.8 ms/scan on steps that only ever took the smallest tier), and the
+    # round-3 narrow/wide far-width lax.cond cost ~70 us/step even on its
+    # narrow branch -- the peel subsumes both. Under vmap a while_loop runs
+    # until every batch lane is done; the fleet path batches with lax.map,
+    # which keeps the per-vehicle trip counts independent.
+    loop_tiers = [t for t in tiers if -(-k_max // t[2]) > 1]
+    pad_to = max(
+        [-(-k_max // tc) * tc for _, _, tc, _ in loop_tiers], default=k_max
+    )
     if pad_to > k_max:
         # padding slots repeat point 0; its budget gathers to its true value
         # and the hit scatter is a .max() -- marching a point twice is
@@ -370,12 +432,11 @@ def detect_outliers(
             [pidx, jnp.zeros((pad_to - k_max,), pidx.dtype)]
         )
 
-    def chunk_hits(i):
+    def ray_data(cpidx):
         # per-chunk candidate data: three 1-wide chunk-row gathers + an
         # elementwise rebuild of the unit ray (bitwise equal to the
         # elementwise budget pass above -- same ops, same order), plus the
         # exact budget gathered from the precomputed per-point array
-        cpidx = lax.dynamic_slice_in_dim(pidx, i * chunk, chunk)
         cpx = x[cpidx]
         cpy = y[cpidx]
         cpz = z[cpidx]
@@ -390,42 +451,36 @@ def detect_outliers(
         cvx = exactf32.div_rn(dx, length)
         cvy = exactf32.div_rn(dy, length)
         cvz = exactf32.div_rn(dz, length)
-        hit_near = lattice_hits((cvx, cvy, cvz, cbud), 3, split)
-        if split >= config.ray_steps:
-            return cpidx, hit_near
-        def far(k2: int) -> jax.Array:
-            pre = lambda a: lax.slice_in_dim(a, 0, k2)
-            h = lattice_hits(
-                (pre(cvx), pre(cvy), pre(cvz), pre(cbud)),
-                split, config.ray_steps,
-            )
-            return jnp.concatenate([h, jnp.zeros((chunk - k2,), jnp.int32)])
-        # global budget order => this chunk's far candidates are its prefix,
-        # of size clip(n_far - i*chunk, 0, chunk); either branch is exact
-        n_far_c = jnp.clip(n_far - i * chunk, 0, chunk)
-        if chunk > k_far:
-            hit_far = lax.cond(
-                n_far_c <= k_far, lambda: far(k_far), lambda: far(chunk)
-            )
-        else:
-            hit_far = far(chunk)
-        return cpidx, jnp.maximum(hit_near, hit_far)
+        return cvx, cvy, cvz, cbud
 
-    if n_chunks == 1:
-        cpidx, hit_c = chunk_hits(jnp.int32(0))
-        out = jnp.zeros((x.shape[0],), jnp.int32).at[cpidx].max(hit_c)
-    else:
-        def loop_cond(st):
+    # peeled chunk 0: tier widths are nonincreasing, so every tier's first
+    # chunk is a static prefix of the widest tier's -- one gather set
+    width0 = tiers[0][2]
+    c0 = lax.slice_in_dim(pidx, 0, width0)
+    rd0 = ray_data(c0)
+    parts0 = [
+        lattice_parts(tuple(lax.slice_in_dim(a, 0, tc) for a in rd0), s_lo, s_hi)
+        for s_lo, s_hi, tc, _ in tiers
+    ]
+    hits0 = table_hits(parts0)
+    hit0 = hits0[0]
+    for h, (_, _, tc, _) in zip(hits0[1:], tiers[1:]):
+        hit0 = jnp.maximum(hit0, jnp.pad(h, (0, width0 - tc)))
+    out = jnp.zeros((x.shape[0],), jnp.int32).at[c0].max(hit0)
+
+    # storm continuation: per-tier while_loops over chunks 1..
+    for s_lo, s_hi, tchunk, count in loop_tiers:
+        max_trips = -(-k_max // tchunk)
+
+        def loop_cond(st, max_trips=max_trips, tchunk=tchunk, count=count):
             i, _ = st
-            return (i < n_chunks) & (i * chunk < n_run)
+            return (i < max_trips) & (i * tchunk < count)
 
-        def loop_body(st):
+        def loop_body(st, s_lo=s_lo, s_hi=s_hi, tchunk=tchunk):
             i, hits = st
-            cpidx, hit_c = chunk_hits(i)
+            cpidx = lax.dynamic_slice_in_dim(pidx, i * tchunk, tchunk)
+            (hit_c,) = table_hits([lattice_parts(ray_data(cpidx), s_lo, s_hi)])
             return i + 1, hits.at[cpidx].max(hit_c)
 
-        _, out = lax.while_loop(
-            loop_cond, loop_body,
-            (jnp.int32(0), jnp.zeros((x.shape[0],), jnp.int32)),
-        )
+        _, out = lax.while_loop(loop_cond, loop_body, (jnp.int32(1), out))
     return out > 0
