@@ -29,6 +29,30 @@ triangles + both main-diagonal halves + the upper anti-diagonal come from the
 transposed copy (left/right segments write those last, including the
 twice-visited corners), everything else from the row copy.
 
+Paired sweep (v3). The kernel is instruction-issue-bound (per-ring time ==
+the segment updates' vector-op count; its (1, W)/(3, W) operands fill 1-3 of
+each vreg's 8 sublanes), and the four segments form two perfectly
+homogeneous pairs -- N+W both walk ascending over lanes [i, outer) with
+``fixed = i``, S+E both descending over [i, outer+1) with ``fixed = outer``,
+differing only in which layer copy they touch. Hoisted rings
+(k >= HOIST_MIN) therefore run each pair as ONE stacked update: bands
+interleave into (6, W) grouped-by-band-row blocks and every elementwise op,
+roll and scan level does both segments' work in the same issue slots
+(an (r, W) group occupies the same vregs as (1, W) for r <= 8). The corner
+couplings keep their exact dataflow:
+
+  * carry-sourced couplings (previous ring's rows, including the
+    "late" reads of E(k-1)/S(k-1)'s last walk cells) inject upfront -- they
+    sit in fori-carry registers at band time, so deferring them (as v2 did)
+    wasted a _band_delta + two repair steps per ring;
+  * the intra-pair walk-start couplings (W's two cells from N, E's from S --
+    the twice-visited corners) apply as an exact post-hoc 3-lane refix: the
+    consumer's band update re-runs at r=1 WITH the injections (same formula,
+    same op order as the sequential path -> bitwise) and only lanes
+    [d-1, d+1] merge back, the enumerated support of the perturbation;
+  * the two TRUE late couplings (S <- W(k), E <- N(k)) stay deferred as the
+    stacked post-scan two-lane repair.
+
 Walk order, twice-visited corners and the affine recurrence all match the
 sequential reference exactly (see tests/test_pallas_spiral.py).
 """
@@ -102,23 +126,32 @@ def _affine_hillis_steele(a, b, descending, span=None):
 
 
 def _band_update(config: GroundGridConfig, bh, bc, fixed, lo, hi, descending,
-                 woff=0, export=False):
-    """Exact segment update on a lane-major (3, WLEN) stencil band.
+                 woff=0, export=False, r=1):
+    """Exact segment update on a lane-major (3r, WLEN) stencil band.
 
-    ``bh``/``bc`` rows are [fixed-1, fixed, fixed+1]; lane position ``j``
-    holds global cell coordinate ``woff + j`` along the walk (``woff`` is the
-    tier's 128-aligned lane-window offset -- see ``_tiers``). Returns the
-    updated (1, WLEN) height and confidence rows. See core/interpolate.py
-    for the derivation. ``export=True`` additionally returns the
-    intermediates :func:`_band_delta` needs to cheaply re-derive (a, b)
-    after a deferred corner injection.
+    ``bh``/``bc`` rows are [fixed-1, fixed, fixed+1] groups of ``r`` stacked
+    same-direction segments (grouped by band row: rows [B*r, B*r+r) hold
+    band row ``B`` of all ``r`` segments); lane position ``j`` holds global
+    cell coordinate ``woff + j`` along the walk (``woff`` is the tier's
+    128-aligned lane-window offset -- see ``_tiers``; it may be a traced
+    scalar for the narrow-refix window). Returns the updated (r, WLEN)
+    height and confidence rows. See core/interpolate.py for the derivation.
+    ``export=True`` additionally returns the intermediates
+    :func:`_band_delta` needs to cheaply re-derive (a, b) after a deferred
+    corner injection.
+
+    Stacking is free on TPU: an (r, W) row group occupies the same vregs as
+    a (1, W) row for r <= 8, so every elementwise op here does r segments'
+    work for one segment's issue slots -- the lever that halved the kernel
+    (see ``make_ring``'s pairing). All formulas are elementwise across the
+    stacked rows, so r=2 results are bitwise the two r=1 results.
     """
     c_idx = config.center_cell
     res2 = float(config.resolution**2)
     dec = float(config.occupied_cells_decrease_factor)
     min_d2 = float(config.min_dist_squared)
 
-    shape = (1, bh.shape[1])
+    shape = (r, bh.shape[1])
     ys = lax.broadcasted_iota(jnp.int32, shape, 1) + woff
     in_seg = (ys >= lo) & (ys < hi)
 
@@ -126,7 +159,7 @@ def _band_update(config: GroundGridConfig, bh, bc, fixed, lo, hi, descending,
     fy = ys.astype(jnp.float32)
     fx = (fixed - c_idx).astype(jnp.float32)
     d2 = (fx * fx + (fy - c_idx) * (fy - c_idx)) * res2
-    occ = bc[1:2]
+    occ = bc[r : 2 * r]
     c_dec = jnp.where(d2 > min_d2, jnp.maximum(occ - occ / dec, 0.001), occ)
     c_new = jnp.where(in_seg, c_dec, occ)
 
@@ -134,24 +167,24 @@ def _band_update(config: GroundGridConfig, bh, bc, fixed, lo, hi, descending,
     pred = lambda x: _roll(x, sgn, 1)  # walk-predecessor position
     succ = lambda x: _roll(x, -sgn, 1)  # walk-successor position
 
-    # Roll the (3, W) h/c/w BLOCKS, not rows: a (3, W) array occupies the
-    # same vregs as a (1, W) row (both pad to 8 sublanes), so one block roll
-    # replaces three row rolls at identical cost -- 4 rolls instead of 10 on
-    # the 3x3-stencil sums below.
-    hh = bh[1:2]
+    # Roll the (3r, W) h/c/w BLOCKS, not rows: a (3r, W) array occupies the
+    # same vregs as a (1, W) row for 3r <= 8 (both pad to 8 sublanes), so one
+    # block roll replaces three row rolls at identical cost -- 4 rolls
+    # instead of 10 on the 3x3-stencil sums below.
+    hh = bh[r : 2 * r]
     w = bc * bh
-    wp, ws = pred(w), succ(w)  # (3, W) each
+    wp, ws = pred(w), succ(w)  # (3r, W) each
     cp, cs = pred(bc), succ(bc)
-    tw = wp + w + ws  # rows: pred+self+succ of [lo_w, mid_w, hi_w]
+    tw = wp + w + ws  # row groups: pred+self+succ of [lo_w, mid_w, hi_w]
     tc = cp + bc + cs
-    mid_c = bc[1:2]
+    mid_c = bc[r : 2 * r]
     # stencil sums (cpp:453-460): all eight 3x3 neighbors in walk order =
     # full row-sums of the lo/hi rows + self+succ of the mid row
-    num_known = tw[0:1] + tw[2:3] + (w[1:2] + ws[1:2])
-    den_known = tc[0:1] + tc[2:3] + (mid_c + cs[1:2])
+    num_known = tw[0:r] + tw[2 * r : 3 * r] + (w[r : 2 * r] + ws[r : 2 * r])
+    den_known = tc[0:r] + tc[2 * r : 3 * r] + (mid_c + cs[r : 2 * r])
 
     pred_in_seg = pred(in_seg.astype(jnp.float32)) > 0.5
-    c_pred = jnp.where(pred_in_seg, pred(c_new), cp[1:2])
+    c_pred = jnp.where(pred_in_seg, pred(c_new), cp[r : 2 * r])
     den = den_known + c_pred + FLT_TINY
 
     blend = jnp.where(in_seg, 1.0 - occ, 0.0)
@@ -168,23 +201,25 @@ def _band_update(config: GroundGridConfig, bh, bc, fixed, lo, hi, descending,
     return a_coef, b_coef, c_new, internals
 
 
-def _band_delta(it, bh, bc, band_row, sel, src_h, src_c, shift):
+def _band_delta(it, bh, bc, band_row, sel, src_h, src_c, shift, r=1):
     """(a, b) of the band WITH one extra injection, from exported internals.
 
     The injection replaces the band value at one (row, lane) position, which
     perturbs the 3x3 stencil sums at three lanes only; rebuilding (a, b)
     from the deltas costs ~14 row ops instead of a second full band update.
     Matches the full recompute to ~1 ulp (the delta addition reassociates
-    the num/den sums).
+    the num/den sums). Stacked (``r > 1``): each of the r rows applies its
+    own injection (same band_row/sel/shift, per-row ``src`` rows).
     """
     sgn = it["sgn"]
     pred = lambda x: _roll(x, sgn, 1)
     succ = lambda x: _roll(x, -sgn, 1)
     vh = _roll(src_h, shift, 1)
     vc = _roll(src_c, shift, 1)
-    w_row = bc[band_row : band_row + 1] * bh[band_row : band_row + 1]
+    row = slice(band_row * r, band_row * r + r)
+    w_row = bc[row] * bh[row]
     dw = jnp.where(sel, vh * vc - w_row, 0.0)
-    dc = jnp.where(sel, vc - bc[band_row : band_row + 1], 0.0)
+    dc = jnp.where(sel, vc - bc[row], 0.0)
     dnum = dw + pred(dw) + succ(dw)
     dden = dc + pred(dc) + succ(dc)
     inv = 1.0 / (it["den"] + dden)
@@ -203,6 +238,73 @@ def _load_band(h_ref, c_ref, fixed, woff, wlen):
     blk_h = h_ref[pl.ds(base, ROW_BLK), pl.ds(woff, wlen)]
     blk_c = c_ref[pl.ds(base, ROW_BLK), pl.ds(woff, wlen)]
     return blk_h, blk_c
+
+
+def _stack_pair_rows(blkA, blkB, fixed):
+    """Rotate two loaded band blocks and interleave their stencil rows.
+
+    Returns 6-row lists (h, c) in grouped-by-band-row order
+    [A_lo, B_lo, A_mid, B_mid, A_hi, B_hi] -- the layout
+    :func:`_band_update` expects at r=2 (band row B of segment s sits at
+    stacked row 2B+s). Both segments of a pair share ``fixed``, so one
+    rotation amount serves all four blocks.
+    """
+    base = pl.multiple_of((fixed - 1) // 8 * 8, 8)
+    off = fixed - 1 - base
+    rot = lambda x: pltpu.roll(x, (ROW_BLK - off) % ROW_BLK, axis=0)
+    ah, ac = rot(blkA[0]), rot(blkA[1])
+    bh_, bc_ = rot(blkB[0]), rot(blkB[1])
+    rows_h = [ah[0:1], bh_[0:1], ah[1:2], bh_[1:2], ah[2:3], bh_[2:3]]
+    rows_c = [ac[0:1], bc_[0:1], ac[1:2], bc_[1:2], ac[2:3], bc_[2:3]]
+    return rows_h, rows_c
+
+
+def _narrow_refix(config, bh, bc, consumer, injections, fixed, lo, hi,
+                  descending, woff, wlen, a, b, c_new):
+    """Exact post-hoc application of intra-pair early injections.
+
+    The stacked pair update computes the consumer segment WITHOUT the
+    values its band owes to the producer segment of the same pair (W's two
+    walk-start cells from N; E's from S). Those injections share one dest
+    lane ``d`` and only perturb the consumer's (a, b, c) at lanes
+    [d-1, d+1] (stencil sums at +-1 lane; the mid-row injection's occ /
+    c_new / c_pred effects land in the same window -- enumerated lane by
+    lane in the kernel docstring). So: rebuild the consumer's 3-row band
+    with the injections, re-run the r=1 band update (SAME formula and op
+    order as the sequential path -> bitwise), and merge lanes [d-1, d+1]
+    back into the stacked (a, b, c). Out-of-segment merged lanes are
+    bitwise no-ops (a=hh, b=0, c=occ, none injected). A 128-lane windowed
+    recompute was tried and hits a Mosaic lane-concat layout bug on the
+    pad-back; the full-width r=1 recompute costs one extra band update per
+    pair, which the pairing's 2x still dominates.
+    """
+    r = a.shape[0]
+    lane1 = lax.broadcasted_iota(jnp.int32, (1, wlen), 1) + woff
+    rows_h = [bh[br * r + consumer : br * r + consumer + 1] for br in range(3)]
+    rows_c = [bc[br * r + consumer : br * r + consumer + 1] for br in range(3)]
+    d = injections[0][1]
+    for band_row, dest, (src_h, src_c), shift in injections:
+        sel = lane1 == dest
+        rows_h[band_row] = jnp.where(sel, _roll(src_h, shift, 1), rows_h[band_row])
+        rows_c[band_row] = jnp.where(sel, _roll(src_c, shift, 1), rows_c[band_row])
+    cbh = jnp.concatenate(rows_h, axis=0)
+    cbc = jnp.concatenate(rows_c, axis=0)
+    af, bf, cf = _band_update(config, cbh, cbc, fixed, lo, hi, descending,
+                              woff)
+    rowsel = lax.broadcasted_iota(jnp.int32, (r, wlen), 0) == consumer
+    sel3 = rowsel & (jnp.abs(lane1 - d) <= 1)
+    return (jnp.where(sel3, af, a), jnp.where(sel3, bf, b),
+            jnp.where(sel3, cf, c_new))
+
+
+def _writeback(ref_h, ref_c, blk, fixed, woff, wlen, h_new, c_new):
+    """Write one segment's updated row back through its 16-row block."""
+    base = pl.multiple_of((fixed - 1) // 8 * 8, 8)
+    off = fixed - 1 - base
+    rows = lax.broadcasted_iota(jnp.int32, (ROW_BLK, wlen), 0)
+    sel = rows == (off + 1)
+    ref_h[pl.ds(base, ROW_BLK), pl.ds(woff, wlen)] = jnp.where(sel, h_new, blk[0])
+    ref_c[pl.ds(base, ROW_BLK), pl.ds(woff, wlen)] = jnp.where(sel, c_new, blk[1])
 
 
 def _segment(config, h_ref, c_ref, fixed, lo, hi,
@@ -372,59 +474,131 @@ def _spiral_kernel(config: GroundGridConfig, pad,
             outer = 2 * c_idx - i
 
             if hoist:
-                # all four band loads issue up-front; their latency hides
-                # under the preceding segments' compute (rows are pairwise
+                # ---- paired path: N+W and S+E stacked (see module doc) ----
+                # All four band loads issue up-front (rows are pairwise
                 # disjoint for k >= HOIST_MIN, so content is identical to
-                # loading at segment time)
+                # loading at segment time).
                 blkN = _load_band(h_ref, c_ref, i, woff, wlen)
                 blkW = _load_band(ht_ref, ct_ref, i, woff, wlen)
                 blkS = _load_band(h_ref, c_ref, outer, woff, wlen)
                 blkE = _load_band(ht_ref, ct_ref, outer, woff, wlen)
+                lane1 = lax.broadcasted_iota(jnp.int32, (1, wlen), 1) + woff
+                lane2 = lax.broadcasted_iota(jnp.int32, (2, wlen), 1) + woff
+
+                def inject(rows_h, rows_c, stacked_row, dest, src_h, src_c,
+                           shift):
+                    sel = lane1 == dest
+                    rows_h[stacked_row] = jnp.where(
+                        sel, _roll(src_h, shift, 1), rows_h[stacked_row])
+                    rows_c[stacked_row] = jnp.where(
+                        sel, _roll(src_c, shift, 1), rows_c[stacked_row])
+
+                # pair 1 = [N (rows copy), W (transposed copy)], ascending,
+                # both fixed=i, walk [i, outer). Carry-sourced couplings
+                # inject upfront (previous ring's rows sit in registers):
+                #   N hi-row lane i+1     <- W(k-1) first walk cell (early)
+                #   N hi-row lane outer-1 <- E(k-1) LAST walk cell
+                #   W hi-row lane outer-1 <- S(k-1) LAST walk cell
+                rows_h, rows_c = _stack_pair_rows(blkN, blkW, i)
+                inject(rows_h, rows_c, 4, i + 1, w_eh, w_c, 0)
+                inject(rows_h, rows_c, 4, outer - 1, e_lh, e_c, outer - i - 2)
+                inject(rows_h, rows_c, 5, outer - 1, s_lh, s_c, outer - i - 2)
+                bh1 = jnp.concatenate(rows_h, axis=0)
+                bc1 = jnp.concatenate(rows_c, axis=0)
+                a1, b1, c1 = _band_update(
+                    config, bh1, bc1, i, i, outer, False, woff, r=2)
+                # N's walk-start cells feed W's band (the (i, i) corner is a
+                # column-segment double-visit): exact 3-lane refix of W
+                n_eh = a1[0:1] + b1[0:1] * _roll(a1[0:1], 1, 1)
+                a1, b1, c1 = _narrow_refix(
+                    config, bh1, bc1, 1,
+                    [(1, i, (n_eh, c1[0:1]), 0), (2, i, (n_eh, c1[0:1]), -1)],
+                    i, i, outer, False, woff, wlen, a1, b1, c1)
+                h1 = _affine_hillis_steele(a1, b1, False, span)
+                w_eh = a1[1:2] + b1[1:2] * _roll(a1[1:2], 1, 1)
+                _writeback(h_ref, c_ref, blkN, i, woff, wlen, h1[0:1], c1[0:1])
+                _writeback(ht_ref, ct_ref, blkW, i, woff, wlen, h1[1:2], c1[1:2])
+
+                # pair 2 = [S, E], descending, both fixed=outer, walk
+                # (outer, i] (lanes [i, outer+1)). Upfront from carry:
+                #   S lo-row lane outer-1 <- E(k-1) first walk cell (early)
+                rows_h, rows_c = _stack_pair_rows(blkS, blkE, outer)
+                inject(rows_h, rows_c, 0, outer - 1, e_eh, e_c, 0)
+                bh2 = jnp.concatenate(rows_h, axis=0)
+                bc2 = jnp.concatenate(rows_c, axis=0)
+                a2, b2, c2, internals = _band_update(
+                    config, bh2, bc2, outer, i, outer + 1, True, woff,
+                    export=True, r=2)
+                # S's walk-start cells feed E's band (the (outer, outer)
+                # corner double-visit): exact 3-lane refix of E
+                s_eh = a2[0:1] + b2[0:1] * _roll(a2[0:1], -1, 1)
+                a2, b2, c2 = _narrow_refix(
+                    config, bh2, bc2, 1,
+                    [(0, outer, (s_eh, c2[0:1]), 1), (1, outer, (s_eh, c2[0:1]), 0)],
+                    outer, i, outer + 1, True, woff, wlen, a2, b2, c2)
+                h2 = _affine_hillis_steele(a2, b2, True, span)
+                e_eh = a2[1:2] + b2[1:2] * _roll(a2[1:2], -1, 1)
+                # TRUE late couplings (producers in THIS ring's pair 1):
+                #   S lo-row lane i <- W(k) last walk cell,
+                #   E lo-row lane i <- N(k) last walk cell
+                # -> stacked deferred fix: _band_delta + two affine repair
+                # steps at the walk's last two lanes (see _segment doc).
+                # The refix lanes (near ``outer``) and the repair lanes
+                # (i, i+1) are disjoint for the hoisted ring lengths, so the
+                # pre-refix internals stay valid where the delta reads them.
+                src_h = jnp.concatenate([h1[1:2], h1[0:1]], axis=0)
+                src_c = jnp.concatenate([c1[1:2], c1[0:1]], axis=0)
+                a2d, b2d = _band_delta(
+                    internals, bh2, bc2, 0, lane1 == i, src_h, src_c,
+                    i - outer + 1, r=2)
+                f1 = a2d + b2d * _roll(h2, -1, 1)
+                h2 = jnp.where(lane2 == i + 1, f1, h2)
+                f2 = a2d + b2d * _roll(h2, -1, 1)
+                h2 = jnp.where(lane2 == i, f2, h2)
+                _writeback(h_ref, c_ref, blkS, outer, woff, wlen, h2[0:1], c2[0:1])
+                _writeback(ht_ref, ct_ref, blkE, outer, woff, wlen, h2[1:2], c2[1:2])
+
+                w_c, s_lh, s_c = c1[1:2], h2[0:1], c2[0:1]
+                e_lh, e_c = h2[1:2], c2[1:2]
             else:
-                blkN = blkW = blkS = blkE = None
+                # ---- small-ring sequential path (per-segment, upfront
+                # injections; blocks may overlap, so loads happen at
+                # segment time after the previous segment's writeback) ----
+                def seg(ref_h, ref_c, fixed, lo2, hi2, desc, inj):
+                    return _segment(config, ref_h, ref_c, fixed, lo2, hi2,
+                                    desc, inj, woff, wlen, None, span=span)
 
-            # Each segment has exactly one "late" coupling (a read of a
-            # producer's fully-scanned LAST walk cell); in hoisted rings it
-            # is deferred to the post-scan two-lane fix so the four scans
-            # run concurrently (see _segment docstring).
-            def seg(ref_h, ref_c, fixed, lo2, hi2, desc, early_inj, late_inj, blk2):
-                if hoist:
-                    return _segment(config, ref_h, ref_c, fixed, lo2, hi2, desc,
-                                    early_inj, woff, wlen, blk2,
-                                    deferred=late_inj, span=span)
-                return _segment(config, ref_h, ref_c, fixed, lo2, hi2, desc,
-                                early_inj + [late_inj], woff, wlen, blk2,
-                                span=span)
-
-            # N: top row i, ascending (reference walk order, cpp:421-439).
-            # foreign reads: (i+1, i+1) <- W(k-1)'s FIRST walk cell (early),
-            # (i+1, outer-1) <- E(k-1)'s LAST walk cell [its lane i+1]
-            n_eh, n_lh, n_c = seg(h_ref, c_ref, i, i, outer, False, [
-                (2, i + 1, (w_eh, w_c), 0),
-            ], (2, outer - 1, (e_lh, e_c), outer - i - 2), blkN)
-            # W: left column == HT row i, ascending.
-            # foreign: (i, i) <- N(k) walk cell 1, (i, i+1) <- N(k) walk
-            # cell 2 [lane i+1 -> i] -- both early -> W's band prep does NOT
-            # wait for N's scan; (outer-1, i+1) <- S(k-1) last [-> outer-1]
-            w_eh, w_lh, w_c = seg(ht_ref, ct_ref, i, i, outer, False, [
-                (1, i, (n_eh, n_c), 0),
-                (2, i, (n_eh, n_c), -1),
-            ], (2, outer - 1, (s_lh, s_c), outer - i - 2), blkW)
-            # S: bottom row outer, descending.
-            # foreign: (outer-1, i) <- W(k)'s LAST walk cell [lane i],
-            # (outer-1, outer-1) <- E(k-1)'s first walk cell (early)
-            s_eh, s_lh, s_c = seg(h_ref, c_ref, outer, i, outer + 1, True, [
-                (0, outer - 1, (e_eh, e_c), 0),
-            ], (0, i, (w_lh, w_c), i - outer + 1), blkS)
-            # E: right column == HT row outer, descending.
-            # foreign: (i, outer-1) <- N(k)'s LAST walk cell [lane i],
-            # (outer, outer-1) <- S(k) walk cell 2 [lane outer-1 -> outer],
-            # (outer, outer) <- S(k) walk cell 1 -- both early -> E's band
-            # prep overlaps S's scan
-            e_eh, e_lh, e_c = seg(ht_ref, ct_ref, outer, i, outer + 1, True, [
-                (0, outer, (s_eh, s_c), 1),
-                (1, outer, (s_eh, s_c), 0),
-            ], (0, i, (n_lh, n_c), i - outer + 1), blkE)
+                # N: top row i, ascending (reference walk order,
+                # cpp:421-439). foreign reads: (i+1, i+1) <- W(k-1)'s FIRST
+                # walk cell (early), (i+1, outer-1) <- E(k-1)'s LAST
+                n_eh, n_lh, n_c = seg(h_ref, c_ref, i, i, outer, False, [
+                    (2, i + 1, (w_eh, w_c), 0),
+                    (2, outer - 1, (e_lh, e_c), outer - i - 2),
+                ])
+                # W: left column == HT row i, ascending.
+                # foreign: (i, i) <- N(k) walk cell 1, (i, i+1) <- N(k)
+                # walk cell 2 [lane i+1 -> i], (outer-1, i+1) <- S(k-1) last
+                w_eh, w_lh, w_c = seg(ht_ref, ct_ref, i, i, outer, False, [
+                    (1, i, (n_eh, n_c), 0),
+                    (2, i, (n_eh, n_c), -1),
+                    (2, outer - 1, (s_lh, s_c), outer - i - 2),
+                ])
+                # S: bottom row outer, descending.
+                # foreign: (outer-1, i) <- W(k)'s LAST walk cell [lane i],
+                # (outer-1, outer-1) <- E(k-1)'s first walk cell (early)
+                s_eh, s_lh, s_c = seg(h_ref, c_ref, outer, i, outer + 1, True, [
+                    (0, outer - 1, (e_eh, e_c), 0),
+                    (0, i, (w_lh, w_c), i - outer + 1),
+                ])
+                # E: right column == HT row outer, descending.
+                # foreign: (i, outer-1) <- N(k)'s LAST walk cell [lane i],
+                # (outer, outer-1) <- S(k) walk cell 2, (outer, outer) <-
+                # S(k) walk cell 1
+                e_eh, e_lh, e_c = seg(ht_ref, ct_ref, outer, i, outer + 1, True, [
+                    (0, outer, (s_eh, s_c), 1),
+                    (1, outer, (s_eh, s_c), 0),
+                    (0, i, (n_lh, n_c), i - outer + 1),
+                ])
 
             # persist for the next tier's carry re-embed (dead until tier end)
             for slot, row in enumerate((w_eh, s_lh, e_eh, e_lh)):
