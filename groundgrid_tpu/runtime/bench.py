@@ -99,6 +99,7 @@ def run_benchmark(
     warmup: int = 3,
     n_beams: int = 64,
     n_azimuth: int = 2048,
+    max_points: int = 131072,
 ) -> dict:
     import jax
 
@@ -114,6 +115,7 @@ def run_benchmark(
     config = GroundGridConfig(
         resolution=resolution,
         dimension=dimension,
+        max_points=max_points,
         sorted_scans=(platform == "tpu"),
     )
     _log(f"bench: platform={platform} grid={config.cell_count}^2 batch={batch} "
@@ -178,9 +180,12 @@ def run_benchmark(
         b -= b % n_chips
         mesh = make_mesh()
         fleet = make_fleet_step(config, mesh)
-        states = jax.vmap(lambda t: init_state(config, t))(
-            np.stack([poses[0].astype(np.float32)] * b)
-        )
+        # host loop + stack, NOT vmap(init_state): init_state seeds the ds
+        # grid center from the f64 pose on the HOST (the half-cell snap-tie
+        # fix ships the f64 center in every mode), so it cannot trace
+        per_vehicle = [init_state(config, poses[0].astype(np.float32))
+                       for _ in range(b)]
+        states = jax.tree.map(lambda *xs: np.stack(xs), *per_vehicle)
         batched = jax.tree.map(
             lambda *xs: np.stack(xs), *(scans[i % n_distinct] for i in range(b))
         )

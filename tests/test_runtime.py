@@ -483,3 +483,19 @@ def test_fleet_halfcell_tie_matches_streaming(tiny_config):
             fleet._trackers[v].center64, golden.state.center,
             err_msg=f"vehicle {v}: fleet tracker lost the f64 tie",
         )
+
+
+def test_bench_fleet_smoke():
+    """run_benchmark(batch>1) end to end on the CPU mesh.
+
+    Regression: the fleet bench once built its per-vehicle states with
+    jax.vmap(init_state), which broke when init_state gained a host-side
+    f64 ds-center seed (the half-cell snap-tie fix) -- init_state cannot
+    trace, so fleet states must be built host-side and stacked.
+    """
+    from groundgrid_tpu.runtime.bench import run_benchmark
+
+    r = run_benchmark(n_scans=4, batch=2, resolution=0.5, dimension=40.0,
+                      warmup=1, n_beams=8, n_azimuth=128, max_points=4096)
+    assert r["value"] > 0
+    assert r["extra"]["batch"] >= 2
