@@ -104,7 +104,9 @@ struct BinConsts {
   float inv_res;
 };
 
-// exactf32.ds_bin: floor((s - x) / res) faithful to the f64 oracle
+// exactf32.ds_bin: floor((s - x) / res) faithful to the f64 oracle.
+// Branchless (bool arithmetic, no short-circuit) so the batch loop below
+// autovectorizes; identical op sequence per element in every clone.
 static inline float gg_ds_bin(const BinAxis& a, const BinConsts& c, float x) {
   float relh, rell;
   gg_ds_add_f32(a.sh, a.sl, -x, &relh, &rell);
@@ -115,11 +117,90 @@ static inline float gg_ds_bin(const BinAxis& a, const BinConsts& c, float x) {
   float dh, dl, th, tl;
   gg_ds_add(relh, rell, -p1h, -p1l, &th, &tl);
   gg_ds_add(th, tl, -p2h, -p2l, &dh, &dl);
-  const bool below = (dh < 0.0f) || (dh == 0.0f && dl < 0.0f);
+  const bool below = (dh < 0.0f) | ((dh == 0.0f) & (dl < 0.0f));
   float eh, el;
   gg_ds_add(dh, dl, -c.rh, -c.rl, &eh, &el);
-  const bool at_or_above = !((eh < 0.0f) || (eh == 0.0f && el < 0.0f));
+  const bool at_or_above = !((eh < 0.0f) | ((eh == 0.0f) & (el < 0.0f)));
   return m + (at_or_above ? 1.0f : 0.0f) - (below ? 1.0f : 0.0f);
+}
+
+// ---------------------------------------------------------------------------
+// Batched prep passes. The per-scan host work (THROUGHPUT_r4: ~20 ms/scan,
+// 11.5 ms of it in the scalar transform+bin loop) is restructured into SoA
+// batch loops that GCC autovectorizes; `target_clones` adds an AVX2 clone
+// with glibc ifunc runtime dispatch, so the cached .so stays portable to
+// baseline x86-64 hosts (the -mtune=native concern in the Makefile) while
+// modern hosts get 8-wide code. -ffp-contract=off applies to every clone
+// (it is a compile-unit flag), so no clone can fuse the ds arithmetic into
+// FMAs; vectorizing across points never reorders a per-point chain, so all
+// clones are bit-identical to the scalar path.
+// ---------------------------------------------------------------------------
+
+#define GG_CLONES __attribute__((target_clones("arch=x86-64-v3", "default")))
+
+// map-frame transform, AoS f64 input -> SoA f32: exact numpy order
+// ((T0*x + T1*y) + T2*z) + T3 per row (pipeline.prepare_scan).
+GG_CLONES
+static void gg_transform_batch(const double* T, const float* aos,
+                               int32_t count, float* mx, float* my,
+                               float* mz) {
+  for (int32_t i = 0; i < count; ++i) {
+    const double x = aos[(size_t)i * 4 + 0];
+    const double y = aos[(size_t)i * 4 + 1];
+    const double z = aos[(size_t)i * 4 + 2];
+    mx[i] = (float)(T[0] * x + T[1] * y + T[2] * z + T[3]);
+    my[i] = (float)(T[4] * x + T[5] * y + T[6] * z + T[7]);
+    mz[i] = (float)(T[8] * x + T[9] * y + T[10] * z + T[11]);
+  }
+}
+
+GG_CLONES
+static void gg_bin_axis_batch(const BinAxis a, const BinConsts c,
+                              const float* v, int32_t count, float* g) {
+  for (int32_t i = 0; i < count; ++i) g[i] = gg_ds_bin(a, c, v[i]);
+}
+
+// flat cell id with out-of-bounds -> n*n sentinel, branchless
+GG_CLONES
+static void gg_cells_batch(const float* g0, const float* g1, int32_t count,
+                           int32_t n, int32_t* cells) {
+  const int32_t n2 = n * n;
+  for (int32_t i = 0; i < count; ++i) {
+    const bool in = (g0[i] >= 0.0f) & (g0[i] < (float)n) & (g1[i] >= 0.0f) &
+                    (g1[i] < (float)n);
+    const int32_t c = (int32_t)g0[i] * n + (int32_t)g1[i];
+    cells[i] = in ? c : n2;
+  }
+}
+
+// s16 wire quantization: round-half-even (FE_TONEAREST nearbyintf == numpy
+// np.rint), clamp to s16, and the dequantized f32 the device reconstructs.
+GG_CLONES
+static void gg_quantize_batch(const float* v, float ref, int32_t count,
+                              int16_t* q, float* dq) {
+  for (int32_t i = 0; i < count; ++i) {
+    float t = std::nearbyintf((v[i] - ref) * 100.0f);
+    t = t < -32768.0f ? -32768.0f : (t > 32767.0f ? 32767.0f : t);
+    q[i] = (int16_t)t;
+    dq[i] = (float)q[i] * 0.01f + ref;
+  }
+}
+
+// Reusable per-thread scratch: fresh vectors per scan cost ~5 ms/scan in
+// allocation + zeroing churn; capacity persists across scans per worker.
+struct Scratch {
+  std::vector<float> mx, my, mz, g0, g1, dqx, dqy, dqz;
+  std::vector<int16_t> wx, wy, wz;
+  std::vector<int32_t> cells, cnt;
+};
+
+// stable counting sort of [0, count) by flat cell id; returns via `cnt` the
+// running bucket cursors (consumed immediately by the scatter in the caller).
+static void gg_cell_histogram(const int32_t* cells, int32_t count, int64_t n2,
+                              std::vector<int32_t>& cnt) {
+  cnt.assign((size_t)n2 + 2, 0);
+  for (int32_t i = 0; i < count; ++i) cnt[(size_t)cells[i] + 1]++;
+  for (size_t c = 1; c < cnt.size(); ++c) cnt[c] += cnt[c - 1];
 }
 
 // Sorted-scan preparation parameters (gg_loader_create_sorted): the per-scan
@@ -165,6 +246,9 @@ struct Loader {
   std::condition_variable cv_space;
   // completed slots keyed by arrival; emitted strictly in index order
   std::vector<Slot> done;
+  // recycled slots: buffer capacity persists across scans (fresh per-scan
+  // vectors cost ~5 ms/scan in allocation + zeroing churn)
+  std::vector<Slot> free_slots;
   size_t max_queue = 8;
   std::vector<std::thread> workers;
   std::atomic<bool> stop{false};
@@ -174,7 +258,11 @@ struct Loader {
 // Map-frame transform + cell-sorted reorder (pipeline.prepare_scan in C++).
 // Stable counting sort by flat cell id reproduces numpy's stable argsort
 // bit-for-bit, so the emitted scan is byte-identical to the Python prep.
-void prep_scan(const Loader& L, int64_t idx, Slot& s) {
+// Only the live prefix [0, count) is transformed and sorted; the zero pad
+// tail has cell id n², sorts stably after every live point (including
+// out-of-bounds live points in the same sentinel bucket), and is written
+// directly.
+void prep_scan(const Loader& L, int64_t idx, Slot& s, Scratch& sc) {
   const double* T = L.prep.poses.data() + (size_t)idx * 16;
   const BinAxis a0 = gg_center_axis(L.prep.centers[2 * idx], L.prep.half);
   const BinAxis a1 = gg_center_axis(L.prep.centers[2 * idx + 1], L.prep.half);
@@ -184,41 +272,39 @@ void prep_scan(const Loader& L, int64_t idx, Slot& s) {
   const int32_t cap = L.cap;
   const int32_t count = s.count;
 
-  std::vector<float> mx(cap, 0.0f), my(cap, 0.0f), mz(cap, 0.0f);
-  std::vector<int32_t> cells(cap, (int32_t)n2);
+  sc.mx.resize(cap);
+  sc.my.resize(cap);
+  sc.mz.resize(cap);
+  sc.g0.resize(cap);
+  sc.g1.resize(cap);
+  sc.cells.resize(cap);
+  gg_transform_batch(T, s.points.data(), count, sc.mx.data(), sc.my.data(),
+                     sc.mz.data());
+  gg_bin_axis_batch(a0, bc, sc.mx.data(), count, sc.g0.data());
+  gg_bin_axis_batch(a1, bc, sc.my.data(), count, sc.g1.data());
+  gg_cells_batch(sc.g0.data(), sc.g1.data(), count, n, sc.cells.data());
+
+  gg_cell_histogram(sc.cells.data(), count, n2, sc.cnt);
+
+  s.sx.resize(cap);
+  s.sy.resize(cap);
+  s.sz.resize(cap);
+  s.slabels.resize(cap);
+  s.order.resize(cap);
   for (int32_t i = 0; i < count; ++i) {
-    const double x = s.points[(size_t)i * 4 + 0];
-    const double y = s.points[(size_t)i * 4 + 1];
-    const double z = s.points[(size_t)i * 4 + 2];
-    const float xf = (float)(T[0] * x + T[1] * y + T[2] * z + T[3]);
-    const float yf = (float)(T[4] * x + T[5] * y + T[6] * z + T[7]);
-    const float zf = (float)(T[8] * x + T[9] * y + T[10] * z + T[11]);
-    mx[i] = xf;
-    my[i] = yf;
-    mz[i] = zf;
-    const float g0 = gg_ds_bin(a0, bc, xf);
-    const float g1 = gg_ds_bin(a1, bc, yf);
-    if (g0 >= 0.0f && g0 < (float)n && g1 >= 0.0f && g1 < (float)n)
-      cells[i] = (int32_t)g0 * n + (int32_t)g1;
-  }
-
-  // stable counting sort: cnt[c+1] = #points with cell < c+1 after scan
-  std::vector<int32_t> cnt((size_t)n2 + 2, 0);
-  for (int32_t i = 0; i < cap; ++i) cnt[(size_t)cells[i] + 1]++;
-  for (size_t c = 1; c < cnt.size(); ++c) cnt[c] += cnt[c - 1];
-
-  s.sx.assign(cap, 0.0f);
-  s.sy.assign(cap, 0.0f);
-  s.sz.assign(cap, 0.0f);
-  s.slabels.assign(cap, 0);
-  s.order.assign(cap, 0);
-  for (int32_t i = 0; i < cap; ++i) {
-    const int32_t pos = cnt[cells[i]]++;
-    s.sx[pos] = mx[i];
-    s.sy[pos] = my[i];
-    s.sz[pos] = mz[i];
+    const int32_t pos = sc.cnt[sc.cells[i]]++;
+    s.sx[pos] = sc.mx[i];
+    s.sy[pos] = sc.my[i];
+    s.sz[pos] = sc.mz[i];
     s.slabels[pos] = s.labels[i];
     s.order[pos] = i;
+  }
+  for (int32_t i = count; i < cap; ++i) {
+    s.sx[i] = 0.0f;
+    s.sy[i] = 0.0f;
+    s.sz[i] = 0.0f;
+    s.slabels[i] = 0;
+    s.order[i] = i;
   }
 }
 
@@ -229,7 +315,7 @@ void prep_scan(const Loader& L, int64_t idx, Slot& s) {
 // passes. Bit-exact with the numpy prep: double transform -> float cast,
 // (v - ref) * 100.0f under FE_TONEAREST nearbyintf (numpy np.rint is also
 // round-half-even), dequant as q * 0.01f + ref with -ffp-contract=off.
-void prep_scan_wire(const Loader& L, int64_t idx, Slot& s) {
+void prep_scan_wire(const Loader& L, int64_t idx, Slot& s, Scratch& sc) {
   const double* T = L.prep.poses.data() + (size_t)idx * 16;
   // the wire quantization refs are the f32 HI center (pipeline dequant adds
   // w.center[0], the hi); binning uses the full ds pair
@@ -244,49 +330,51 @@ void prep_scan_wire(const Loader& L, int64_t idx, Slot& s) {
   const int32_t cap = L.cap;
   const int32_t count = s.count;
 
-  std::vector<int16_t> wx(cap, 0), wy(cap, 0), wz(cap, 0);
-  std::vector<int32_t> cells(cap, (int32_t)n2);
+  sc.mx.resize(cap);
+  sc.my.resize(cap);
+  sc.mz.resize(cap);
+  sc.g0.resize(cap);
+  sc.g1.resize(cap);
+  sc.dqx.resize(cap);
+  sc.dqy.resize(cap);
+  sc.dqz.resize(cap);
+  sc.wx.resize(cap);
+  sc.wy.resize(cap);
+  sc.wz.resize(cap);
+  sc.cells.resize(cap);
+  gg_transform_batch(T, s.points.data(), count, sc.mx.data(), sc.my.data(),
+                     sc.mz.data());
+  gg_quantize_batch(sc.mx.data(), ref0, count, sc.wx.data(), sc.dqx.data());
+  gg_quantize_batch(sc.my.data(), ref1, count, sc.wy.data(), sc.dqy.data());
+  // z dequant is never binned; dqz is a discard buffer (aliasing mz as the
+  // output would defeat vectorization via the compiler's overlap check)
+  gg_quantize_batch(sc.mz.data(), ref2, count, sc.wz.data(), sc.dqz.data());
+  // bin the dequantized coordinates -- what the device reconstructs
+  gg_bin_axis_batch(a0, bc, sc.dqx.data(), count, sc.g0.data());
+  gg_bin_axis_batch(a1, bc, sc.dqy.data(), count, sc.g1.data());
+  gg_cells_batch(sc.g0.data(), sc.g1.data(), count, n, sc.cells.data());
+
+  gg_cell_histogram(sc.cells.data(), count, n2, sc.cnt);
+
+  s.qx.resize(cap);
+  s.qy.resize(cap);
+  s.qz.resize(cap);
+  s.qlabels.resize(cap);
+  s.order.resize(cap);
   for (int32_t i = 0; i < count; ++i) {
-    const double x = s.points[(size_t)i * 4 + 0];
-    const double y = s.points[(size_t)i * 4 + 1];
-    const double z = s.points[(size_t)i * 4 + 2];
-    const float xf = (float)(T[0] * x + T[1] * y + T[2] * z + T[3]);
-    const float yf = (float)(T[4] * x + T[5] * y + T[6] * z + T[7]);
-    const float zf = (float)(T[8] * x + T[9] * y + T[10] * z + T[11]);
-    float q0 = std::nearbyintf((xf - ref0) * 100.0f);
-    float q1 = std::nearbyintf((yf - ref1) * 100.0f);
-    float q2 = std::nearbyintf((zf - ref2) * 100.0f);
-    q0 = q0 < -32768.0f ? -32768.0f : (q0 > 32767.0f ? 32767.0f : q0);
-    q1 = q1 < -32768.0f ? -32768.0f : (q1 > 32767.0f ? 32767.0f : q1);
-    q2 = q2 < -32768.0f ? -32768.0f : (q2 > 32767.0f ? 32767.0f : q2);
-    wx[i] = (int16_t)q0;
-    wy[i] = (int16_t)q1;
-    wz[i] = (int16_t)q2;
-    // bin the dequantized coordinates -- what the device reconstructs
-    const float dqx = (float)wx[i] * 0.01f + ref0;
-    const float dqy = (float)wy[i] * 0.01f + ref1;
-    const float g0 = gg_ds_bin(a0, bc, dqx);
-    const float g1 = gg_ds_bin(a1, bc, dqy);
-    if (g0 >= 0.0f && g0 < (float)n && g1 >= 0.0f && g1 < (float)n)
-      cells[i] = (int32_t)g0 * n + (int32_t)g1;
-  }
-
-  std::vector<int32_t> cnt((size_t)n2 + 2, 0);
-  for (int32_t i = 0; i < cap; ++i) cnt[(size_t)cells[i] + 1]++;
-  for (size_t c = 1; c < cnt.size(); ++c) cnt[c] += cnt[c - 1];
-
-  s.qx.assign(cap, 0);
-  s.qy.assign(cap, 0);
-  s.qz.assign(cap, 0);
-  s.qlabels.assign(cap, 0);
-  s.order.assign(cap, 0);
-  for (int32_t i = 0; i < cap; ++i) {
-    const int32_t pos = cnt[cells[i]]++;
-    s.qx[pos] = wx[i];
-    s.qy[pos] = wy[i];
-    s.qz[pos] = wz[i];
+    const int32_t pos = sc.cnt[sc.cells[i]]++;
+    s.qx[pos] = sc.wx[i];
+    s.qy[pos] = sc.wy[i];
+    s.qz[pos] = sc.wz[i];
     s.qlabels[pos] = (int16_t)s.labels[i];
     s.order[pos] = i;
+  }
+  for (int32_t i = count; i < cap; ++i) {
+    s.qx[i] = 0;
+    s.qy[i] = 0;
+    s.qz[i] = 0;
+    s.qlabels[i] = 0;
+    s.order[i] = i;
   }
 }
 
@@ -297,8 +385,10 @@ bool read_scan_files(const Loader& L, int64_t idx, Slot& slot) {
   std::snprintf(name, sizeof(name), "%06lld.label", (long long)idx);
   std::string lab = L.labels_dir + "/" + name;
 
-  slot.points.assign((size_t)L.cap * 4, 0.0f);
-  slot.labels.assign((size_t)L.cap, 0);
+  // resize (not assign): recycled slots keep capacity; only the unread tail
+  // needs zeroing, matching the zero-padded contract byte for byte
+  slot.points.resize((size_t)L.cap * 4);
+  slot.labels.resize((size_t)L.cap);
   slot.count = 0;
   slot.status = 0;
 
@@ -313,22 +403,32 @@ bool read_scan_files(const Loader& L, int64_t idx, Slot& slot) {
   int32_t count = (int32_t)(nread / 4);
   std::fclose(f);
   slot.count = count;
+  if (nread < (size_t)L.cap * 4)
+    std::memset(slot.points.data() + nread, 0,
+                ((size_t)L.cap * 4 - nread) * sizeof(float));
 
+  size_t lread = 0;
   FILE* g = std::fopen(lab.c_str(), "rb");
   if (g) {
-    std::vector<uint32_t> raw((size_t)count);
-    size_t lread = std::fread(raw.data(), sizeof(uint32_t), (size_t)count, g);
+    static thread_local std::vector<uint32_t> raw;
+    raw.resize((size_t)count);
+    lread = std::fread(raw.data(), sizeof(uint32_t), (size_t)count, g);
     std::fclose(g);
     for (size_t i = 0; i < lread; ++i)
       slot.labels[i] = (int32_t)(raw[i] & 0xFFFFu); // semantic id, low half
   }
+  if (lread < (size_t)L.cap)
+    std::memset(slot.labels.data() + lread, 0,
+                ((size_t)L.cap - lread) * sizeof(int32_t));
   return true;
 }
 
 void worker_main(Loader* L) {
+  Scratch scratch;  // per-worker; capacity persists across scans
   for (;;) {
     int64_t idx;
     int64_t gen;
+    Slot slot;
     {
       std::unique_lock<std::mutex> lock(L->mu);
       L->cv_space.wait(lock, [&] {
@@ -344,16 +444,19 @@ void worker_main(Loader* L) {
       // stale-drop below and permanently occupy a queue slot.
       idx = L->next_to_schedule++;
       gen = L->generation;
+      if (!L->free_slots.empty()) {
+        slot = std::move(L->free_slots.back());
+        L->free_slots.pop_back();
+      }
     }
-    Slot slot;
     slot.index = idx;
     slot.generation = gen;
     read_scan_files(*L, idx, slot);
     if (slot.status == 0 && L->prep.enabled) {
       if (L->prep.wire)
-        prep_scan_wire(*L, idx, slot);
+        prep_scan_wire(*L, idx, slot, scratch);
       else
-        prep_scan(*L, idx, slot);
+        prep_scan(*L, idx, slot, scratch);
     }
     {
       std::unique_lock<std::mutex> lock(L->mu);
@@ -365,9 +468,17 @@ void worker_main(Loader* L) {
         if (d.index == slot.index) { dup = true; break; }
       if (slot.generation == L->generation && !dup)
         L->done.push_back(std::move(slot));
+      else
+        L->free_slots.push_back(std::move(slot));
     }
     L->cv_ready.notify_all();
   }
+}
+
+// return an emitted slot's buffers to the recycle pool
+void gg_recycle(Loader* L, Slot&& slot) {
+  std::lock_guard<std::mutex> lk(L->mu);
+  L->free_slots.push_back(std::move(slot));
 }
 
 }  // namespace
@@ -467,7 +578,10 @@ int64_t gg_loader_next_wire(void* handle, int16_t* out_qx, int16_t* out_qy,
         L->next_to_emit++;
         lock.unlock();
         L->cv_space.notify_all();
-        if (slot.status != 0) return -2;
+        if (slot.status != 0) {
+          gg_recycle(L, std::move(slot));
+          return -2;
+        }
         const size_t cap = (size_t)L->cap;
         std::memcpy(out_qx, slot.qx.data(), cap * sizeof(int16_t));
         std::memcpy(out_qy, slot.qy.data(), cap * sizeof(int16_t));
@@ -475,7 +589,9 @@ int64_t gg_loader_next_wire(void* handle, int16_t* out_qx, int16_t* out_qy,
         std::memcpy(out_labels, slot.qlabels.data(), cap * sizeof(int16_t));
         std::memcpy(out_order, slot.order.data(), cap * sizeof(int32_t));
         *out_count = slot.count;
-        return slot.index;
+        const int64_t ret = slot.index;
+        gg_recycle(L, std::move(slot));
+        return ret;
       }
     }
     L->cv_ready.wait(lock);
@@ -502,7 +618,10 @@ int64_t gg_loader_next_sorted(void* handle, float* out_px, float* out_py,
         L->next_to_emit++;
         lock.unlock();
         L->cv_space.notify_all();
-        if (slot.status != 0) return -2;
+        if (slot.status != 0) {
+          gg_recycle(L, std::move(slot));
+          return -2;
+        }
         const size_t cap = (size_t)L->cap;
         std::memcpy(out_px, slot.sx.data(), cap * sizeof(float));
         std::memcpy(out_py, slot.sy.data(), cap * sizeof(float));
@@ -510,7 +629,9 @@ int64_t gg_loader_next_sorted(void* handle, float* out_px, float* out_py,
         std::memcpy(out_labels, slot.slabels.data(), cap * sizeof(int32_t));
         std::memcpy(out_order, slot.order.data(), cap * sizeof(int32_t));
         *out_count = slot.count;
-        return slot.index;
+        const int64_t ret = slot.index;
+        gg_recycle(L, std::move(slot));
+        return ret;
       }
     }
     L->cv_ready.wait(lock);
@@ -538,7 +659,9 @@ int64_t gg_loader_next(void* handle, float* out_points, int32_t* out_labels,
         std::memcpy(out_labels, slot.labels.data(),
                     (size_t)L->cap * sizeof(int32_t));
         *out_count = slot.count;
-        return slot.status == 0 ? slot.index : -2;
+        const int64_t ret = slot.status == 0 ? slot.index : -2;
+        gg_recycle(L, std::move(slot));
+        return ret;
       }
     }
     L->cv_ready.wait(lock);
@@ -551,6 +674,7 @@ void gg_loader_seek(void* handle, int64_t index) {
   auto* L = static_cast<Loader*>(handle);
   {
     std::unique_lock<std::mutex> lock(L->mu);
+    for (auto& d : L->done) L->free_slots.push_back(std::move(d));
     L->done.clear();
     L->generation++;
     L->next_to_emit = index;

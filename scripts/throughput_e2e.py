@@ -241,6 +241,9 @@ def main() -> None:
                       grid_cells=config.cell_count),
         prep=[], e2e=[],
     )
+    # one discarded pass: first-touch page faults + CPU governor ramp cost
+    # the first measured config ~2.5x otherwise (138 vs 370 scans/s observed)
+    prep_rate(ds, config, 1, "sorted", min(len(ds), 64))
     for mode in ("sorted", "wire"):
         for t in (1, 2, 4):
             r = prep_rate(ds, config, t, mode, len(ds))
