@@ -57,7 +57,18 @@ REF_HEADLINE = {"precision": 96.05, "recall": 98.70, "f1": 97.35,
 
 
 def run_worker(seed: int, variant: str, scans: int, rain: float,
-               out_path: str) -> None:
+               out_path: str, wire: bool = False) -> None:
+    """One campaign config: jitted pipeline vs golden oracle, lockstep.
+
+    With ``wire=True`` (VERDICT r4 #3) the pipeline runs the s16 wire format
+    (sorted_scans + wire_format) while golden stays on the exact f32 path, so
+    the deltas bound the ~5 mm quantization loss in metric points at the
+    KITTI operating point; each label flip's distance-to-threshold margin is
+    measured on golden's layers and histogrammed (expected: flips live within
+    the 5 mm quantization band of the tolerance threshold).
+    """
+    import dataclasses
+
     from groundgrid_tpu.config import GroundGridConfig
     from groundgrid_tpu.core import transforms as tf
     from groundgrid_tpu.data.kitti_world import kitti_sequence
@@ -67,8 +78,15 @@ def run_worker(seed: int, variant: str, scans: int, rain: float,
     from groundgrid_tpu.runtime.driver import StreamingDriver
 
     cfg = GroundGridConfig()
-    driver = StreamingDriver(cfg)
+    pipe_cfg = (dataclasses.replace(cfg, sorted_scans=True, wire_format=True)
+                if wire else cfg)
+    driver = StreamingDriver(pipe_cfg)
     golden = GoldenGroundGrid(cfg)
+    margin_bins = [1e-4, 1e-3, 5e-3, 1e-2]  # metres; 5e-3 = the s16 quantum/2
+    margin_hist = [0] * (len(margin_bins) + 1)
+    h_thr = np.float32(cfg.miminum_point_height_threshold)
+    h_obs = np.float32(cfg.minimum_point_height_obstacle_threshold)
+    mdf5 = np.float32(cfg.minimum_distance_factor * 5.0)
     ev_pipe = Evaluator(f"kitti-{variant}-s{seed}")
     ev_gold = Evaluator(f"kitti-{variant}-s{seed}")
 
@@ -102,8 +120,31 @@ def run_worker(seed: int, variant: str, scans: int, rain: float,
         ev_gold.add_cloud(want, lbl)
 
         got = np.asarray(res.labels)[: len(want)]
-        mismatch += int((got != np.asarray(want)).sum())
+        mm = got != np.asarray(want)
+        mismatch += int(mm.sum())
         total += len(want)
+        if wire and mm.any():
+            # flip-margin histogram on golden's layers (kitti_diag.py method)
+            k = np.nonzero(mm)[0][:20000]
+            rel0 = (golden.state.center[0] + cfg.half_length) - x[k].astype(np.float64)
+            rel1 = (golden.state.center[1] + cfg.half_length) - y[k].astype(np.float64)
+            gi = np.clip(np.floor(rel0 / cfg.resolution).astype(int),
+                         0, cfg.cell_count - 1)
+            gj = np.clip(np.floor(rel1 / cfg.resolution).astype(int),
+                         0, cfg.cell_count - 1)
+            var = golden.snapshots["detect_inputs"][1][gi, gj]
+            dist = np.hypot(x[k] - mv[0, 3], y[k] - mv[1, 3])
+            with np.errstate(divide="ignore"):
+                tol = np.maximum(
+                    np.minimum((mdf5 * dist) / var * h_thr, h_thr), h_obs)
+            margin = np.abs(z[k] - (golden.state.ground[gi, gj] + tol))
+            for m in margin:
+                for b, edge in enumerate(margin_bins):
+                    if m < edge:
+                        margin_hist[b] += 1
+                        break
+                else:
+                    margin_hist[-1] += 1
         if (idx + 1) % 20 == 0:
             print(f"[{variant}-s{seed}] {idx + 1}/{scans} "
                   f"mismatch {mismatch}/{total} "
@@ -119,6 +160,10 @@ def run_worker(seed: int, variant: str, scans: int, rain: float,
         label_mismatch=mismatch,
         ev_pipe=ev_pipe.state_dict(), ev_gold=ev_gold.state_dict(),
     )
+    if wire:
+        result["wire"] = True
+        result["margin_bins_m"] = margin_bins
+        result["margin_hist"] = margin_hist
     result["max_abs_delta_pt"] = max(
         abs(v) for v in result["delta_pt"].values()
     )
@@ -298,10 +343,14 @@ def main() -> None:
     ap.add_argument("--jobs", type=int, default=0,
                     help="max parallel workers (0 = all configs at once)")
     ap.add_argument("--out-md", default=os.path.join(REPO, "ACCURACY_r4.md"))
+    ap.add_argument("--wire", action="store_true",
+                    help="pipeline runs the s16 wire format vs f32 golden "
+                         "(VERDICT r4 #3); margins histogrammed")
     args = ap.parse_args()
 
     if args.mode == "worker":
-        run_worker(args.seed, args.variant, args.scans, args.rain, args.out)
+        run_worker(args.seed, args.variant, args.scans, args.rain, args.out,
+                   wire=args.wire)
         return
 
     if args.mode == "aggregate":
