@@ -668,9 +668,27 @@ def drive_plan(n_scans: int, step_m: float = 1.2, resolution: float = 0.33,
     a REVERSE segment back over mapped street (negative damage), an exact
     half-cell-delta segment (grid_map index-shift snap rule), then cruise.
     ``forward``: pure cruise (operating-point measurement).
+    ``loop``: seq-00-length legs — out-and-back traversals of the SAME
+    ~900 m street (x stays bounded), each leg with the city events, so a
+    4540-scan drive closes the loop over previously-mapped-then-forgotten
+    terrain every ~750 scans (the long-horizon regime of
+    /root/reference/README.md:58's 4540-cloud evaluation).
     """
     if variant == "forward":
         return [("cruise", step_m)] * n_scans
+    if variant == "loop":
+        plan = []
+        leg = 0
+        while len(plan) < n_scans:
+            s = step_m if leg % 2 == 0 else -step_m
+            plan += [("cruise", s)] * 300
+            plan += [("stop", 0.0)] * 4
+            plan += [("halfcell", resolution / 2.0)] * 8
+            plan += [("reverse", -0.8 * s)] * 30
+            plan += [("cruise", s)] * 330
+            plan += [("cruise", 1.5 * s)] * 80
+            leg += 1
+        return plan[:n_scans]
     plan: list[tuple[str, float]] = []
     i = 0
     while len(plan) < n_scans:
@@ -708,7 +726,10 @@ def kitti_sequence(
     landing precisely on the half-away-from-zero snap boundary
     (grid_map getIndexShiftFromPositionShift; AUDIT.md #1).
     """
-    scene = make_kitti_scene(seed, length_m=max(400.0, n_scans * step_m * 0.8))
+    # loop variant stays on one ~900 m street (bounded x); others march on
+    length = (900.0 if variant == "loop"
+              else max(400.0, n_scans * step_m * 0.8))
+    scene = make_kitti_scene(seed, length_m=length)
     plan = drive_plan(n_scans, step_m, resolution, variant)
     x = 0.0
     # engine center recurrence replica (golden.py update_odom)
