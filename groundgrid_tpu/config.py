@@ -117,10 +117,12 @@ class GroundGridConfig:
     # set this False only if the host guarantees sorted input).
     sorted_fallback_check: bool = True
     # Quantized s16 wire format for ingest-bound links (pipeline.WireScan):
-    # scans ship as int16 centimetre offsets (8 B/point vs 20 B/point f32
-    # SoA, ~2.5x smaller D2H/DCN ingest) and dequantize on device. Opt-in
-    # (~5 mm lossy); requires sorted_scans (the wire prep pre-sorts by the
-    # dequantized coordinates' cell ids).
+    # scans ship as int16 offsets in per-axis power-of-two steps derived
+    # from the grid span (pipeline.wire_scales; default 1.95 mm xy /
+    # 0.98 mm z) -- 8 B/point vs 20 B/point f32 SoA, ~2.5x smaller D2H/DCN
+    # ingest -- and dequantize on device. Opt-in (~mm lossy); requires
+    # sorted_scans (the wire prep pre-sorts by the dequantized coordinates'
+    # cell ids).
     wire_format: bool = False
     # Degraded-mode policy for a scan whose pose is missing/non-finite: False
     # drops the scan (the nodelet's behavior when the cloud transform lookup

@@ -80,7 +80,10 @@ def load_library(auto_build: bool = True) -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
     ]
     lib.gg_loader_create_wire.restype = ctypes.c_void_p
-    lib.gg_loader_create_wire.argtypes = lib.gg_loader_create_sorted.argtypes
+    lib.gg_loader_create_wire.argtypes = (
+        lib.gg_loader_create_sorted.argtypes
+        + [ctypes.c_double, ctypes.c_double]  # wire_sxy, wire_sz
+    )
     lib.gg_loader_next_wire.restype = ctypes.c_int64
     lib.gg_loader_next_wire.argtypes = [
         ctypes.c_void_p,
@@ -206,7 +209,8 @@ class WirePrefetchingLoader:
     """Native threaded loader emitting s16 wire-prepared scans.
 
     The wire analog of :class:`SortedPrefetchingLoader`: workers quantize
-    each scan to the s16 centimetre wire format and stable-sort by the
+    each scan to the s16 wire format (per-axis power-of-two steps,
+    ``pipeline.wire_scales``) and stable-sort by the
     dequantized coordinates' cell ids (``pipeline.prepare_scan_wire``
     semantics, bit-identical -- verified by tests/test_native_loader.py).
     Yields :class:`PreparedRecord` whose ``scan`` is a
@@ -244,6 +248,9 @@ class WirePrefetchingLoader:
         self._lib = load_library()
         self._handle = None
         if self._lib is not None and n > 0:
+            from groundgrid_tpu.pipeline import wire_scales
+
+            sxy, sz = wire_scales(config)
             self._handle = ctypes.c_void_p(
                 self._lib.gg_loader_create_wire(
                     self.ds.root.encode(), n, cap, n_threads, queue_depth,
@@ -252,6 +259,8 @@ class WirePrefetchingLoader:
                     ctypes.c_double(config.resolution),
                     ctypes.c_double(config.half_length),
                     config.cell_count,
+                    ctypes.c_double(float(sxy)),
+                    ctypes.c_double(float(sz)),
                 )
             )
         self._qx = np.empty((cap,), np.int16)

@@ -649,27 +649,53 @@ def prepare_scan(
     return scan, order
 
 
-WIRE_SCALE = np.float32(0.01)  # 1 cm wire resolution (s16 => +/-327 m span)
+def wire_scales(config: GroundGridConfig) -> tuple[np.float32, np.float32]:
+    """Per-axis s16 wire quantization steps ``(s_xy, s_z)``, powers of two.
+
+    Powers of two make quantize/dequantize exact f32 multiplies, so the
+    NumPy and C++ preps agree bit-for-bit. ``s_xy`` is the *smallest*
+    power-of-two step whose +/-32767-step span still covers the grid
+    half-span plus a 2 m guard: points beyond that clamp, which is lossless
+    for labels because the clamped coordinate is still outside the map (the
+    overflow bin both ways). ``s_z`` is one power finer — z never
+    participates in cell binning, only in the per-cell min/max/variance
+    stats, where its error budget directly perturbs the detection gates.
+
+    Default geometry (120 m grid): s_xy = 2**-9 m = 1.95 mm (+/-64.0 m),
+    s_z = 2**-10 m = 0.98 mm (+/-32.0 m around sensor height). The round-4
+    1 cm uniform scale let quantization error propagate through the cell
+    statistics into 0.4-0.6 pt metric deltas at the KITTI operating point
+    (ACCURACY_r5.md); the 5x finer step shrinks both the cell-swap fraction
+    (s_xy / resolution of points sit within half a step of a cell edge) and
+    the stat perturbation by the same factor, at identical wire bytes.
+    """
+    need = float(config.half_length) + 2.0
+    k = 0
+    while 32767.0 * 2.0 ** -(k + 1) >= need:
+        k += 1
+    return np.float32(2.0 ** -k), np.float32(2.0 ** -(k + 1))
 
 
 class WireScan(NamedTuple):
-    """Quantized wire format for ingest-bound links (opt-in, ~5 mm lossy).
+    """Quantized wire format for ingest-bound links (opt-in, ~mm lossy).
 
     Streaming a scan to the device costs ~2.6 MB in f32 SoA form; on links
     where host->device bandwidth bounds throughput (ROADMAP: the dev
     tunnel's ~50-115 MB/s; any DCN-fed fleet) this 8-byte/point form cuts
-    ingest ~2.5x. Coordinates are int16 centimetres relative to the grid
-    center (x, y) / sensor height (z); the device dequantizes into the
-    standard f32 pipeline. Sorted-scan semantics: points are pre-sorted by
-    the cell ids of the *dequantized* coordinates, and the valid mask is the
-    length-``count`` prefix (padding and only padding sorts behind every
-    real point's bin). Classification differs from the f32 path only where
-    a point sits within 5 mm of a decision threshold.
+    ingest ~2.5x. Coordinates are int16 multiples of the per-axis
+    power-of-two steps :func:`wire_scales` (default 1.95 mm xy / 0.98 mm z)
+    relative to the grid center (x, y) / sensor height (z); the device
+    dequantizes into the standard f32 pipeline. Sorted-scan semantics:
+    points are pre-sorted by the cell ids of the *dequantized* coordinates,
+    and the valid mask is the length-``count`` prefix (padding and only
+    padding sorts behind every real point's bin). Residual classification
+    deltas vs the f32 path are measured at the KITTI operating point in
+    ACCURACY_r5.md.
     """
 
-    qx: jax.Array  # (P,) int16, (x - center[0]) in cm
-    qy: jax.Array  # (P,) int16, (y - center[1]) in cm
-    qz: jax.Array  # (P,) int16, (z - origin_z) in cm
+    qx: jax.Array  # (P,) int16, (x - center[0]) / s_xy
+    qy: jax.Array  # (P,) int16, (y - center[1]) / s_xy
+    qz: jax.Array  # (P,) int16, (z - origin_z) / s_z
     rings: jax.Array  # (P,) int16 (SemanticKITTI ids fit)
     count: jax.Array  # () int32: valid prefix length
     t_map_velo: jax.Array
@@ -681,9 +707,10 @@ class WireScan(NamedTuple):
 
 def dequantize_scan(config: GroundGridConfig, w: WireScan) -> Scan:
     """Device-side WireScan -> Scan (traced inside the wire step)."""
-    x = w.qx.astype(jnp.float32) * WIRE_SCALE + w.center[0]
-    y = w.qy.astype(jnp.float32) * WIRE_SCALE + w.center[1]
-    z = w.qz.astype(jnp.float32) * WIRE_SCALE + w.t_map_velo[2, 3]
+    sxy, sz = wire_scales(config)
+    x = w.qx.astype(jnp.float32) * sxy + w.center[0]
+    y = w.qy.astype(jnp.float32) * sxy + w.center[1]
+    z = w.qz.astype(jnp.float32) * sz + w.t_map_velo[2, 3]
     valid = (jnp.arange(config.max_points, dtype=jnp.int32) < w.count).astype(jnp.int32)
     return Scan(
         px=x, py=y, pz=z, rings=w.rings.astype(jnp.int32), valid=valid,
@@ -731,12 +758,16 @@ def prepare_scan_wire(
     xyz = np.zeros((cap, 3), dtype=np.float32)
     xyz[:count] = tf.transform_points(t_map_velo, p[:count, :3]).astype(np.float32)
     refs = np.array([ch[0], ch[1], origin_z], np.float32)
+    sxy, sz = wire_scales(config)
+    scales = np.array([sxy, sxy, sz], np.float32)
+    # power-of-two steps: the 1/s multiply is exact, matching the C++ prep
     q = np.clip(
-        np.rint((xyz - refs[None, :]) * 100.0), -32768, 32767
+        np.rint((xyz - refs[None, :]) * (np.float32(1.0) / scales)[None, :]),
+        -32768, 32767,
     ).astype(np.int16)
     # padding quantizes to garbage offsets; zero it so dequant stays tame
     q[count:] = 0
-    dq = q.astype(np.float32) * WIRE_SCALE + refs[None, :]
+    dq = q.astype(np.float32) * scales[None, :] + refs[None, :]
 
     msk = np.zeros((cap,), dtype=np.int32)
     msk[:count] = 1

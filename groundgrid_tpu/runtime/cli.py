@@ -30,7 +30,7 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--no-sorted", dest="sorted_scans", action="store_false")
     p.add_argument("--wire", action="store_true",
                    help="s16 quantized wire format (~2.5x smaller ingest, "
-                        "~5 mm lossy; implies --sorted)")
+                        "~1-2 mm lossy; implies --sorted)")
     p.add_argument("--native-loader", action="store_true",
                    help="use the C++ prefetching loader")
     p.add_argument("--pipeline-depth", type=int, default=0,

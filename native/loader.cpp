@@ -175,14 +175,17 @@ static void gg_cells_batch(const float* g0, const float* g1, int32_t count,
 
 // s16 wire quantization: round-half-even (FE_TONEAREST nearbyintf == numpy
 // np.rint), clamp to s16, and the dequantized f32 the device reconstructs.
+// `inv_s`/`s` are the reciprocal pair of a power-of-two step
+// (pipeline.wire_scales), so both multiplies are exact and bit-match the
+// numpy prep's f32 ops.
 GG_CLONES
-static void gg_quantize_batch(const float* v, float ref, int32_t count,
-                              int16_t* q, float* dq) {
+static void gg_quantize_batch(const float* v, float ref, float inv_s, float s,
+                              int32_t count, int16_t* q, float* dq) {
   for (int32_t i = 0; i < count; ++i) {
-    float t = std::nearbyintf((v[i] - ref) * 100.0f);
+    float t = std::nearbyintf((v[i] - ref) * inv_s);
     t = t < -32768.0f ? -32768.0f : (t > 32767.0f ? 32767.0f : t);
     q[i] = (int16_t)t;
-    dq[i] = (float)q[i] * 0.01f + ref;
+    dq[i] = (float)q[i] * s + ref;
   }
 }
 
@@ -216,6 +219,11 @@ struct Prep {
   BinConsts bc;
   double half = 0.0;
   int32_t n = 0;
+  // per-axis wire steps (pipeline.wire_scales: powers of two, xy from the
+  // grid half-span, z one power finer); caller-supplied, Python is the
+  // single source of truth for the derivation
+  float wire_sxy = 0.0f;
+  float wire_sz = 0.0f;
 };
 
 // Per-scan (center + half) ds pair, matching rasterize.faithful_cells:
@@ -309,12 +317,13 @@ void prep_scan(const Loader& L, int64_t idx, Slot& s, Scratch& sc) {
 }
 
 // s16 wire preparation (pipeline.prepare_scan_wire in C++): quantize to
-// int16 centimetres relative to (center_x, center_y, origin_z), then bin and
-// stable-sort by the cell ids of the *dequantized* f32 coordinates (exactly
-// what the device will reconstruct), so the device-side sortedness check
-// passes. Bit-exact with the numpy prep: double transform -> float cast,
-// (v - ref) * 100.0f under FE_TONEAREST nearbyintf (numpy np.rint is also
-// round-half-even), dequant as q * 0.01f + ref with -ffp-contract=off.
+// int16 steps of the per-axis power-of-two scales relative to
+// (center_x, center_y, origin_z), then bin and stable-sort by the cell ids
+// of the *dequantized* f32 coordinates (exactly what the device will
+// reconstruct), so the device-side sortedness check passes. Bit-exact with
+// the numpy prep: double transform -> float cast, (v - ref) * (1/s) under
+// FE_TONEAREST nearbyintf (numpy np.rint is also round-half-even), dequant
+// as q * s + ref with -ffp-contract=off; both multiplies exact (s = 2^-k).
 void prep_scan_wire(const Loader& L, int64_t idx, Slot& s, Scratch& sc) {
   const double* T = L.prep.poses.data() + (size_t)idx * 16;
   // the wire quantization refs are the f32 HI center (pipeline dequant adds
@@ -342,13 +351,18 @@ void prep_scan_wire(const Loader& L, int64_t idx, Slot& s, Scratch& sc) {
   sc.wy.resize(cap);
   sc.wz.resize(cap);
   sc.cells.resize(cap);
+  const float sxy = L.prep.wire_sxy, isxy = 1.0f / sxy;
+  const float sz = L.prep.wire_sz, isz = 1.0f / sz;
   gg_transform_batch(T, s.points.data(), count, sc.mx.data(), sc.my.data(),
                      sc.mz.data());
-  gg_quantize_batch(sc.mx.data(), ref0, count, sc.wx.data(), sc.dqx.data());
-  gg_quantize_batch(sc.my.data(), ref1, count, sc.wy.data(), sc.dqy.data());
+  gg_quantize_batch(sc.mx.data(), ref0, isxy, sxy, count, sc.wx.data(),
+                    sc.dqx.data());
+  gg_quantize_batch(sc.my.data(), ref1, isxy, sxy, count, sc.wy.data(),
+                    sc.dqy.data());
   // z dequant is never binned; dqz is a discard buffer (aliasing mz as the
   // output would defeat vectorization via the compiler's overlap check)
-  gg_quantize_batch(sc.mz.data(), ref2, count, sc.wz.data(), sc.dqz.data());
+  gg_quantize_batch(sc.mz.data(), ref2, isz, sz, count, sc.wz.data(),
+                    sc.dqz.data());
   // bin the dequantized coordinates -- what the device reconstructs
   gg_bin_axis_batch(a0, bc, sc.dqx.data(), count, sc.g0.data());
   gg_bin_axis_batch(a1, bc, sc.dqy.data(), count, sc.g1.data());
@@ -512,7 +526,7 @@ static void* create_prep_loader(const char* sequence_root, int64_t n_scans,
                                 int32_t queue_depth, const double* poses,
                                 const double* centers, double resolution,
                                 double half_length, int32_t n_cells,
-                                bool wire) {
+                                bool wire, double wire_sxy, double wire_sz) {
   auto* L = new Loader();
   L->velodyne_dir = std::string(sequence_root) + "/velodyne";
   L->labels_dir = std::string(sequence_root) + "/labels";
@@ -521,6 +535,8 @@ static void* create_prep_loader(const char* sequence_root, int64_t n_scans,
   L->max_queue = queue_depth > 0 ? (size_t)queue_depth : 8;
   L->prep.enabled = true;
   L->prep.wire = wire;  // set BEFORE workers start (they prefetch eagerly)
+  L->prep.wire_sxy = (float)wire_sxy;
+  L->prep.wire_sz = (float)wire_sz;
   L->prep.poses.assign(poses, poses + (size_t)n_scans * 16);
   L->prep.centers.assign(centers, centers + (size_t)n_scans * 2);
   // exactf32.res_ds: ds image of the f64 resolution + presplit halves
@@ -544,20 +560,24 @@ void* gg_loader_create_sorted(const char* sequence_root, int64_t n_scans,
                               double half_length, int32_t n_cells) {
   return create_prep_loader(sequence_root, n_scans, cap, n_threads,
                             queue_depth, poses, centers, resolution,
-                            half_length, n_cells, /*wire=*/false);
+                            half_length, n_cells, /*wire=*/false, 0.0, 0.0);
 }
 
 // Wire-prep variant of gg_loader_create_sorted: workers quantize each scan
 // to the s16 wire format (pipeline.prepare_scan_wire semantics) and
-// stable-sort by the dequantized coordinates' cell ids.
+// stable-sort by the dequantized coordinates' cell ids. wire_sxy / wire_sz
+// are the per-axis power-of-two steps (pipeline.wire_scales — Python owns
+// the derivation from the grid geometry).
 void* gg_loader_create_wire(const char* sequence_root, int64_t n_scans,
                             int32_t cap, int32_t n_threads,
                             int32_t queue_depth, const double* poses,
                             const double* centers, double resolution,
-                            double half_length, int32_t n_cells) {
+                            double half_length, int32_t n_cells,
+                            double wire_sxy, double wire_sz) {
   return create_prep_loader(sequence_root, n_scans, cap, n_threads,
                             queue_depth, poses, centers, resolution,
-                            half_length, n_cells, /*wire=*/true);
+                            half_length, n_cells, /*wire=*/true, wire_sxy,
+                            wire_sz);
 }
 
 // Blocking: fetch the next *wire-prepared* scan (s16 quantized SoA + the

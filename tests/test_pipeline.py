@@ -99,12 +99,17 @@ def test_padding_points_inert(small_config, small_scans, jit_step):
 
 
 def test_wire_format_matches_f32(small_config, small_scans):
-    """s16 wire pipeline ~= f32 sorted pipeline (5 mm quantization)."""
+    """s16 wire pipeline ~= f32 sorted pipeline (sub-mm quantization).
+
+    Coordinates must match within half a wire step inside the representable
+    span; beyond it they saturate, which must leave the point outside the
+    map (the clamp is lossless for labels -- overflow bin both ways).
+    """
     import dataclasses
 
     from groundgrid_tpu.pipeline import (
         CenterTracker, make_step, make_wire_step, prepare_scan,
-        prepare_scan_wire,
+        prepare_scan_wire, wire_scales,
     )
 
     cfg = dataclasses.replace(small_config, sorted_scans=True)
@@ -138,10 +143,43 @@ def test_wire_format_matches_f32(small_config, small_scans):
         wlbl[worder] = np.asarray(wout.labels)
         total += len(pts)
         agree += int((lbl[: len(pts)] == wlbl[: len(pts)]).sum())
-        # dequantized coordinates within the 5mm+rounding envelope
+        # dequantized coordinates within half a wire step in-span; saturated
+        # beyond the span but still outside the map
+        sxy, _ = wire_scales(cfg)
+        span = 32767.0 * float(sxy)
+        cx = float(np.asarray(wire.center)[0])
         x = np.empty(cfg.max_points, np.float32)
         x[worder] = np.asarray(wout.x)
         xs = np.empty(cfg.max_points, np.float32)
         xs[order] = np.asarray(out.x)
-        np.testing.assert_allclose(x[: len(pts)], xs[: len(pts)], atol=6e-3)
+        x, xs = x[: len(pts)], xs[: len(pts)]
+        in_span = np.abs(xs - cx) <= span - float(sxy)
+        np.testing.assert_allclose(x[in_span], xs[in_span],
+                                   atol=0.51 * float(sxy))
+        clipped = ~in_span
+        assert np.all(np.abs(x[clipped] - cx) > cfg.half_length), (
+            "saturated wire coordinate re-entered the map")
     assert agree / total > 0.98, f"wire-vs-f32 agreement {agree/total:.4%}"
+
+
+def test_wire_scales_geometry():
+    """wire_scales: minimal power-of-two steps covering the map + guard."""
+    import dataclasses
+    import math
+
+    from groundgrid_tpu.config import GroundGridConfig
+    from groundgrid_tpu.pipeline import wire_scales
+
+    for dim, res in [(120.0, 0.33), (40.0, 0.5), (396.0, 0.33), (60.0, 0.25)]:
+        cfg = GroundGridConfig(dimension=dim, resolution=res)
+        sxy, sz = wire_scales(cfg)
+        k = math.log2(float(sxy))
+        assert k == round(k), "xy step must be a power of two"
+        assert float(sz) == float(sxy) / 2.0, "z is one power finer"
+        span = 32767.0 * float(sxy)
+        need = cfg.half_length + 2.0
+        assert span >= need, "span must cover the map half-span + guard"
+        assert span / 2.0 < need, "step must be the minimal such power"
+    # default geometry lands on the documented 1.95 mm / 0.98 mm
+    sxy, sz = wire_scales(GroundGridConfig())
+    assert float(sxy) == 2.0 ** -9 and float(sz) == 2.0 ** -10
