@@ -124,6 +124,14 @@ class GroundGridConfig:
     # sorted_scans (the wire prep pre-sorts by the dequantized coordinates'
     # cell ids).
     wire_format: bool = False
+    # Fused detect stencil (ops/pallas_detect.py): compute all eight windowed
+    # reductions of the ground-patch detection stage + the branch ladder in
+    # one Pallas VMEM pass instead of eight reduce_window fusion roots.
+    # Numerics: identical thresholds (same f64 host tables), but box-sum
+    # accumulation order differs from reduce_window by <= a few ulps, so
+    # label divergence vs the default path is confined to the near-threshold
+    # tie class (own fuzz campaign: scripts/config_fuzz.py --fused). Opt-in.
+    fused_detect: bool = False
     # Degraded-mode policy for a scan whose pose is missing/non-finite: False
     # drops the scan (the nodelet's behavior when the cloud transform lookup
     # fails, GroundGridNodelet.cpp:133-136); True reuses the last good pose

@@ -221,10 +221,21 @@ def make_step_fn(config: GroundGridConfig, with_aux: bool = False, _salt: int = 
             )
 
         # --- ground patch detection (cpp:314-395) ---
-        ground, groundpatch = detectlib.detect_ground_patches(
-            config, tables, raster.points, raster.variance,
-            raster.min_ground_height, state.ground, state.groundpatch,
-        )
+        if config.fused_detect:
+            from groundgrid_tpu.ops.pallas_detect import (
+                detect_ground_patches_fused,
+            )
+
+            ground, groundpatch = detect_ground_patches_fused(
+                config, tables, raster.points, raster.variance,
+                raster.min_ground_height, state.ground, state.groundpatch,
+                interpret=not use_pallas,
+            )
+        else:
+            ground, groundpatch = detectlib.detect_ground_patches(
+                config, tables, raster.points, raster.variance,
+                raster.min_ground_height, state.ground, state.groundpatch,
+            )
 
         # --- spiral interpolation (cpp:398-465) ---
         ground, groundpatch = spiral(ground, groundpatch, scan.t_map_base[2, 3])
