@@ -89,8 +89,10 @@ def analyze(xplane_path: str, config, n_steps: int, batch: int):
             if s >= cur:
                 head = name.split(" = ")[0]
                 stage = stage_of(name, [], config)
-                if head.startswith(("%dynamic-slice", "%dynamic-update-slice",
-                                    "%fusion")) and "dynamic" in name:
+                if (head.startswith(("%dynamic-slice", "%dynamic_slice",
+                                     "%dynamic-update-slice",
+                                     "%dynamic_update_slice"))
+                        or (head.startswith("%fusion") and "dynamic" in name)):
                     stage = "lax.map slice/dus glue"
                 groups[stage] = groups.get(stage, 0.0) + ps
                 ops[head] = ops.get(head, 0.0) + ps
