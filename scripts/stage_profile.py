@@ -132,6 +132,8 @@ def main() -> None:
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--trace", default="",
                     help="reuse an existing trace dir instead of running")
+    ap.add_argument("--fused", action="store_true",
+                    help="fused_detect=True (ops/pallas_detect.py stencil)")
     args = ap.parse_args()
 
     import jax
@@ -142,8 +144,10 @@ def main() -> None:
     enable_compilation_cache()
     platform = jax.devices()[0].platform
     config = GroundGridConfig(resolution=args.res, dimension=args.dim,
-                              sorted_scans=(platform == "tpu"))
-    print(f"platform={platform} grid={config.cell_count}^2", flush=True)
+                              sorted_scans=(platform == "tpu"),
+                              fused_detect=args.fused)
+    print(f"platform={platform} grid={config.cell_count}^2"
+          f"{' fused_detect' if args.fused else ''}", flush=True)
     tmp = args.trace or trace_steps(config, args.steps)
     paths = sorted(glob.glob(f"{tmp}/**/*.xplane.pb", recursive=True))
     if not paths:
