@@ -41,6 +41,7 @@ def run_accuracy_benchmark(
     world: str = "",
     variant: str = "city",
     rain_rate: float = 0.0,
+    pipeline_config: GroundGridConfig | None = None,
 ) -> dict:
     """Run the TPU pipeline and the golden oracle over the same sequence.
 
@@ -89,7 +90,10 @@ def run_accuracy_benchmark(
         )
     else:
         gen = adversarial_sequence if adversarial else synthetic_sequence
-    driver = StreamingDriver(config)
+    # pipeline_config lets the driver run an ingest variant (e.g. the s16
+    # wire format) while golden stays on the exact f32 path, so the deltas
+    # price the variant itself (scripts/config_fuzz.py --wire).
+    driver = StreamingDriver(pipeline_config or config)
     golden = GoldenGroundGrid(config)
     ev_pipe = Evaluator("accuracy")
     ev_gold = Evaluator("accuracy")

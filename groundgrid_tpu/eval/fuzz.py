@@ -71,13 +71,31 @@ def describe(cfg: GroundGridConfig) -> dict:
     )
 
 
-def fuzz_one(cfg: GroundGridConfig, seed: int, n_scans: int = 2) -> dict:
-    """Parity-run one config; returns the benchmark dict + config summary."""
+def fuzz_one(cfg: GroundGridConfig, seed: int, n_scans: int = 2,
+             wire: bool = False) -> dict:
+    """Parity-run one config; returns the benchmark dict + config summary.
+
+    ``wire=True``: the pipeline runs the s16 wire ingest
+    (``sorted_scans + wire_format``; :func:`pipeline.wire_scales` picks the
+    per-axis power-of-two quanta for the config's geometry) while golden
+    stays on the exact f32 path — pricing the wire format across the
+    parameter space. Sorted mode needs ``max_points`` to be a multiple of
+    1024 (Pallas chunking), so both engines get the rounded-up cap (scans
+    here are ~6k points, far below any cap: behavior-neutral).
+    """
+    import dataclasses
+
     from groundgrid_tpu.eval.accuracy import run_accuracy_benchmark
 
+    pipe_cfg = None
+    if wire:
+        cap = ((cfg.max_points + 1023) // 1024) * 1024
+        cfg = dataclasses.replace(cfg, max_points=cap)
+        pipe_cfg = dataclasses.replace(
+            cfg, sorted_scans=True, wire_format=True)
     r = run_accuracy_benchmark(
         cfg, n_scans=n_scans, seed=seed, n_beams=16, n_azimuth=400,
-        step_m=2.0, adversarial=True,
+        step_m=2.0, adversarial=True, pipeline_config=pipe_cfg,
     )
     r["config"] = describe(cfg)
     return r

@@ -679,12 +679,23 @@ def wire_scales(config: GroundGridConfig) -> tuple[np.float32, np.float32]:
     (ACCURACY_r5.md); the 5x finer step shrinks both the cell-swap fraction
     (s_xy / resolution of points sit within half a step of a cell edge) and
     the stat perturbation by the same factor, at identical wire bytes.
+
+    The z span additionally floors at +/-16 m: unlike xy (where clamping is
+    lossless -- a clamped point is still outside the map), a clamped z is a
+    WRONG height inside the map. "One power finer than xy" alone left small
+    grids with +/-4-8 m of z span, clamping real overpass/underpass returns
+    (wire config fuzz, round 5: 0.4-0.6 pt deltas at dimension <= 17 m), so
+    s_z coarsens back -- possibly past s_xy -- until 32767*s_z >= 16 m.
+    Unchanged at the default geometry (span was already 32 m).
     """
     need = float(config.half_length) + 2.0
     k = 0
     while 32767.0 * 2.0 ** -(k + 1) >= need:
         k += 1
-    return np.float32(2.0 ** -k), np.float32(2.0 ** -(k + 1))
+    kz = k + 1
+    while 32767.0 * 2.0 ** -kz < 16.0:
+        kz -= 1
+    return np.float32(2.0 ** -k), np.float32(2.0 ** -kz)
 
 
 class WireScan(NamedTuple):

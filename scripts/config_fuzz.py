@@ -61,6 +61,11 @@ def main() -> None:
     ap.add_argument("--fused", action="store_true",
                     help="run every config with fused_detect=True (the "
                     "Pallas detect-stencil kernel's own fuzz campaign)")
+    ap.add_argument("--wire", action="store_true",
+                    help="pipeline runs the s16 wire ingest vs the f32 "
+                    "golden at every config (prices the wire format across "
+                    "the parameter space; acceptance = metric bound only, "
+                    "label flips are quantization-priced and reported)")
     args = ap.parse_args()
 
     t0 = time.monotonic()
@@ -81,8 +86,18 @@ def main() -> None:
         runs = [(name, dataclasses.replace(cfg, fused_detect=True), seed)
                 for name, cfg, seed in runs]
     for name, cfg, seed in runs:
-        r = fuzz_one(cfg, seed=seed)
-        ok = r["max_abs_delta_pt"] < 0.1 and r["label_mismatch_rate"] < 2e-3
+        r = fuzz_one(cfg, seed=seed, wire=args.wire)
+        # wire rows: label flips are the measured price of the s16
+        # quantization (reported, not bounded) and the metric bound widens
+        # to 1 pt: the failure mechanism at coarse resolutions is a single
+        # quantization-perturbed detect gate relabeling one whole cell
+        # (diagnosed round 5: 78 flips in 9 cells, 0.8 m ground divergence
+        # at one cell), and in a 2-scan ~11k-point micro-world one cell IS
+        # ~0.5-1 pt of the score. The production-geometry price is bounded
+        # separately at 0.0156 pt over 33.1M points (ACCURACY_r5.md).
+        bound = 1.0 if args.wire else 0.1
+        ok = r["max_abs_delta_pt"] < bound and (
+            args.wire or r["label_mismatch_rate"] < 2e-3)
         fails += 0 if ok else 1
         worst = max(worst, r["max_abs_delta_pt"])
         worst_mismatch = max(worst_mismatch, r["label_mismatch_rate"])
@@ -102,7 +117,8 @@ def main() -> None:
     body = "\n".join(
         [
             "# Config-space fuzz campaign: pipeline vs golden across the parameter space"
-            + (" (fused_detect=True)" if args.fused else ""),
+            + (" (fused_detect=True)" if args.fused else "")
+            + (" (s16 wire ingest vs f32 golden)" if args.wire else ""),
             "",
             "Generated by `scripts/config_fuzz.py` (generator:",
             "`groundgrid_tpu/eval/fuzz.py`). Each row is a 2-scan adversarial",
@@ -110,7 +126,29 @@ def main() -> None:
             "sequential golden oracle at a random or boundary config;",
             "acceptance per row: max |metric delta| < 0.1 pt and per-point",
             "label disagreement < 2e-3 (the bounds tests/test_accuracy.py",
-            "pins at the reference geometry).",
+            "pins at the reference geometry)."
+            + (" WIRE MODE: acceptance = metric delta < 1 pt per 2-scan "
+               "micro-run; the flip rate is the measured price of the s16 "
+               "quanta (pipeline.wire_scales picks per-geometry power-of-"
+               "two steps) and is reported, not bounded. The measured "
+               "flips are xy-edge-driven (a ~1-2 mm xy quantum moves a "
+               "point across a cell edge; a perturbed near-gate cell then "
+               "relabels wholesale -- diagnosed: 78 flips in 9 cells with "
+               "0.8 m ground divergence at ONE cell), and the large "
+               "per-row deltas are micro-world amplification: e.g. the "
+               "0.43 pt row is ONE flipped point in a tiny scored set. At "
+               "the production geometry the wire price is bounded "
+               "separately at 0.0156 pt over 33.1M points (ACCURACY_r5.md "
+               "section 2). This fuzz also drove a prophylactic hardening: "
+               "the z-span rule (one power finer than xy) left small grids "
+               "only +/-4-8 m of z span, silently clamping real returns to "
+               "wrong in-map heights (z-clamped points measured in the "
+               "dimension<=17 m rows; their labels happened to be "
+               "clamp-invariant here, so results are identical pre/post "
+               "fix); wire_scales now floors the z span at +/-16 m, "
+               "unchanged at the default geometry and verified to "
+               "reconstruct the full scene z range at small grids."
+               if args.wire else ""),
             "",
             f"- configs: {len(runs)} ({len(boundary_configs())} boundary + "
             f"{args.n} random), wall {time.monotonic() - t0:.0f} s",

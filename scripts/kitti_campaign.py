@@ -82,7 +82,8 @@ def run_worker(seed: int, variant: str, scans: int, rain: float,
                 if wire else cfg)
     driver = StreamingDriver(pipe_cfg)
     golden = GoldenGroundGrid(cfg)
-    margin_bins = [1e-4, 1e-3, 5e-3, 1e-2]  # metres; 5e-3 = the s16 quantum/2
+    margin_bins = [1e-4, 1e-3, 5e-3, 1e-2]  # metres (wire quanta: 1.95 mm
+    # xy / 0.98 mm z at the default geometry -- pipeline.wire_scales)
     margin_hist = [0] * (len(margin_bins) + 1)
     h_thr = np.float32(cfg.miminum_point_height_threshold)
     h_obs = np.float32(cfg.minimum_point_height_obstacle_threshold)
@@ -368,7 +369,9 @@ def main() -> None:
         return
 
     matrix = campaign_matrix(args.quick)
-    tmpdir = "/tmp/kitti_campaign"
+    # wire launches keep their own worker-JSON pool (the resumable-launch
+    # reuse must never mix s16 and f32 results)
+    tmpdir = "/tmp/kitti_campaign_wire" if args.wire else "/tmp/kitti_campaign"
     os.makedirs(tmpdir, exist_ok=True)
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     jobs = args.jobs or len(matrix)
@@ -396,7 +399,7 @@ def main() -> None:
                 [sys.executable, os.path.abspath(__file__), "worker",
                  "--seed", str(c["seed"]), "--variant", c["variant"],
                  "--scans", str(c["scans"]), "--rain", str(c["rain"]),
-                 "--out", out],
+                 "--out", out] + (["--wire"] if args.wire else []),
                 env=env, stdout=logf, stderr=subprocess.STDOUT, cwd=REPO,
             )
             procs.append((p, c, out))

@@ -174,12 +174,24 @@ def test_wire_scales_geometry():
         cfg = GroundGridConfig(dimension=dim, resolution=res)
         sxy, sz = wire_scales(cfg)
         k = math.log2(float(sxy))
+        kz = math.log2(float(sz))
         assert k == round(k), "xy step must be a power of two"
-        assert float(sz) == float(sxy) / 2.0, "z is one power finer"
+        assert kz == round(kz), "z step must be a power of two"
         span = 32767.0 * float(sxy)
         need = cfg.half_length + 2.0
         assert span >= need, "span must cover the map half-span + guard"
         assert span / 2.0 < need, "step must be the minimal such power"
+        # z: one power finer than xy, unless the +/-16 m z-span floor
+        # coarsens it (clamped z is a WRONG height inside the map)
+        z_span = 32767.0 * float(sz)
+        assert z_span >= 16.0, "z span must cover +/-16 m"
+        assert float(sz) == float(sxy) / 2.0 or (
+            z_span / 2.0 < 16.0 and float(sz) >= float(sxy) / 2.0
+        ), "z is one power finer unless floored to the 16 m span"
+    # small grid: the floor binds (40 m dim -> xy span 16 m, z span 16 m
+    # at the SAME step as one-finer would give only 8 m)
+    sxy, sz = wire_scales(GroundGridConfig(dimension=40.0, resolution=0.5))
+    assert 32767.0 * float(sz) >= 16.0
     # default geometry lands on the documented 1.95 mm / 0.98 mm
     sxy, sz = wire_scales(GroundGridConfig())
     assert float(sxy) == 2.0 ** -9 and float(sz) == 2.0 ** -10
